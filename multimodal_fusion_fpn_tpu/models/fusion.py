@@ -1,0 +1,144 @@
+"""Hybrid 3D+2D fusion U-Nets.
+
+Behavioral parity with ``/root/reference/models/fpn/fusion3D2D.py``:
+
+  * :class:`ModifiedUnet3D2D` (``:10-469``): 3D encoder + projection heads
+    (as in ModifiedUnet3D), a parallel 4-level 2D encoder with pools
+    (1,2),(1,2),(2,2),(2,2), per-level alignment of the 2D skips to the 3D
+    en-face resolution (trilinear ``'2d'`` / adaptive max ``'2d_max'`` /
+    none), and a shared decoder whose blocks fuse (3D-skip, 2D-skip,
+    deeper) by concat or add.
+  * :class:`ModifiedUnet3D2DLevel5` (``:473-581``): adds a 5th 2D encoder
+    stage and fuses the two bottlenecks by channel concat, so the first
+    decoder block sees ``channels[4]*2`` deep channels.
+
+Layouts: 3D (B, Y, X, Z, C); 2D (B, H, W, C); 2D skips are lifted to
+(B, H, W, 1, C) before alignment/fusion.
+"""
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
+from multimodal_fusion_fpn_tpu.models.blocks import (
+    EncoderStage, UpBlockFusion, ZDimReduction, conv_kernel_init, max_pool)
+from multimodal_fusion_fpn_tpu.models.unet3d import (
+    NUM_REDUCTIONS, POOLS_3D, UPFACTORS)
+from multimodal_fusion_fpn_tpu.ops.interpolate import linear_resize
+from multimodal_fusion_fpn_tpu.ops.pooling import adaptive_max_pool
+
+POOLS_2D = ((1, 2), (1, 2), (2, 2), (2, 2))
+
+
+def align_2d_skip(skip2d, target_shape, interpolate: Optional[str]):
+    """Lift a 2D skip to 5D and align it to the 3D skip's spatial shape.
+
+    ``target_shape`` is the 3D skip's (Y, X, Z) shape.  Reference:
+    ``fusion3D2D.py:420-453``.
+    """
+    x = skip2d[:, :, :, None, :]  # (B, H, W, 1, C)
+    if interpolate == "2d":
+        x = linear_resize(x, target_shape, axes=(1, 2, 3))
+    elif interpolate == "2d_max":
+        x = adaptive_max_pool(x, target_shape, axes=(1, 2, 3))
+    elif interpolate is not None:
+        raise ValueError(f"Unknown interpolate mode: {interpolate}")
+    return x
+
+
+class ModifiedUnet3D2D(nn.Module):
+    spec: ArchSpec
+    n_classes: int = 1
+    interpolate: Optional[str] = None
+    feature_fusion: str = "concat"
+    levels: int = 4  # 4 (base) or 5 (Level5 bottleneck fusion)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, volume, enface, train: bool = False):
+        """volume: (B, Y, X, Z, C); enface: (B, H, W, C).
+        Returns (B, Y, X, 1, n_classes)."""
+        spec = self.spec
+        ch, drop = spec.channels, spec.dropout
+        bn = spec.is_batchnorm
+        n2d = 5 if self.levels == 5 else 4
+
+        # --- 2D encoder ---------------------------------------------------
+        skips2d = []
+        x2 = enface
+        in_ch = enface.shape[-1]
+        for lvl in range(n2d):
+            x2 = EncoderStage(
+                ch[lvl], dropout=drop[lvl], use_bn=bn,
+                downsample=(in_ch != ch[lvl]), ndim=2, dtype=self.dtype,
+                name=f"conv{lvl + 1}_2d")(x2, train)
+            skips2d.append(x2)
+            if lvl < n2d - 1:
+                x2 = max_pool(x2, POOLS_2D[min(lvl, 3)])
+            in_ch = ch[lvl]
+
+        # --- 3D encoder ---------------------------------------------------
+        convs = []
+        x3 = volume
+        in_ch = volume.shape[-1]
+        for lvl in range(5):
+            x3 = EncoderStage(
+                ch[lvl], dropout=drop[lvl], use_bn=bn,
+                downsample=(in_ch != ch[lvl]), ndim=3, dtype=self.dtype,
+                name=f"conv{lvl + 1}")(x3, train)
+            convs.append(x3)
+            if lvl < 4:
+                x3 = max_pool(x3, POOLS_3D[lvl])
+            in_ch = ch[lvl]
+
+        # --- 3D skips: depth projection + mean -----------------------------
+        projected = []
+        for lvl in range(5):
+            p = ZDimReduction(
+                ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
+                final_kernel=4, use_bn=bn, dropout=0.0, dtype=self.dtype,
+                name=f"zdimRed{lvl + 1}")(convs[lvl], train)
+            p = jnp.mean(p, axis=3, keepdims=True)
+            projected.append(p)
+
+        # --- 2D skips: lift + align ----------------------------------------
+        aligned2d = [
+            align_2d_skip(skips2d[lvl], projected[lvl].shape[1:4],
+                          self.interpolate)
+            for lvl in range(min(n2d, 4))
+        ]
+
+        # --- decoder --------------------------------------------------------
+        if self.levels == 5:
+            bottom2d = align_2d_skip(skips2d[4], projected[4].shape[1:4],
+                                     self.interpolate)
+            deep = jnp.concatenate([projected[4], bottom2d], axis=-1)
+        else:
+            deep = projected[4]
+
+        up = deep
+        for i, lvl in enumerate((3, 2, 1, 0)):
+            up = UpBlockFusion(
+                ch[lvl], upfactor=UPFACTORS[i], mode=self.feature_fusion,
+                use_bn=bn, is_deconv=spec.is_deconv, dropout=drop[5 + i],
+                dtype=self.dtype,
+                name=f"up_concat{lvl + 1}")(
+                    projected[lvl], aligned2d[lvl], up, train)
+
+        return nn.Conv(self.n_classes, kernel_size=(1, 1, 1),
+                       kernel_init=conv_kernel_init,
+                       bias_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="final1")(up)
+
+
+def ModifiedUnet3D2DLevel5(spec: ArchSpec, n_classes: int = 1,
+                           interpolate: Optional[str] = None,
+                           feature_fusion: str = "concat",
+                           dtype: Any = jnp.float32,
+                           name: Optional[str] = None) -> ModifiedUnet3D2D:
+    return ModifiedUnet3D2D(spec=spec, n_classes=n_classes,
+                            interpolate=interpolate,
+                            feature_fusion=feature_fusion, levels=5,
+                            dtype=dtype, name=name)

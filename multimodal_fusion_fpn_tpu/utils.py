@@ -1,0 +1,72 @@
+"""Generic utilities (reference parity: ``/root/reference/utils.py``)."""
+
+import time
+from typing import Any, Dict
+
+import jax
+import numpy as np
+
+
+class MonitorLearning:
+    """Throttle debug-image dumps to one per minute
+    (reference ``utils.py:13-24``)."""
+
+    def __init__(self):
+        self.minute = -1
+
+    def is_save_time(self) -> bool:
+        now_minute = int(time.time() / 60)
+        is_save_time = now_minute > self.minute
+        if is_save_time:
+            self.minute = now_minute
+        return is_save_time
+
+
+def normalize_data(data: np.ndarray, zero_nans: bool = True) -> np.ndarray:
+    """Normalize data to [0, 1] range (reference ``utils.py:98-104``)."""
+    if zero_nans:
+        data = np.nan_to_num(data)
+    return (data - np.min(data)) / (np.max(data) + 1e-10 - np.min(data))
+
+
+def count_parameters(params) -> int:
+    """Number of learnable parameters in a parameter pytree."""
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
+
+
+def count_convs(params) -> int:
+    """Number of convolution kernels in a parameter pytree (analogue of the
+    reference's conv-layer count, ``utils.py:81-85``)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    n = 0
+    for path, leaf in flat:
+        name = str(path[-1])
+        if "kernel" in name and getattr(leaf, "ndim", 0) >= 4:
+            n += 1
+    return n
+
+
+def print_net_info(params) -> None:
+    print("=====  Net info  =====")
+    print("Layers:", count_convs(params))
+    print("Parameters:", count_parameters(params))
+    print("======================")
+
+
+def tree_to_device(batch: Dict[str, Any], sharding=None):
+    """Move a (possibly nested) dict of numpy arrays to device.
+
+    TPU analogue of the reference's ``array_to_cuda`` (``utils.py:27-39``).
+    Non-array values (strings, lists of ids) pass through unchanged.
+    """
+    def _put(x):
+        if isinstance(x, np.ndarray):
+            return jax.device_put(x, sharding) if sharding is not None \
+                else jax.device_put(x)
+        return x
+
+    if isinstance(batch, dict):
+        return {k: tree_to_device(v, sharding) for k, v in batch.items()}
+    if isinstance(batch, list):
+        return [tree_to_device(v, sharding) for v in batch]
+    return _put(batch)
