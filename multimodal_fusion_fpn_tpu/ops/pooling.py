@@ -26,7 +26,7 @@ def _axis_adaptive_max(x: jnp.ndarray, axis: int, out: int) -> jnp.ndarray:
     ends = -((np.arange(1, out + 1) * n) // -out)  # ceil division
     widths = ends - starts
     max_w = int(widths.max())
-    if (widths == widths[0]).all() and n % out == 0 and starts[1] - starts[0] == widths[0]:
+    if n % out == 0 and (widths == n // out).all():
         # Uniform non-overlapping windows: reshape-and-reduce (no gather).
         new_shape = list(x.shape)
         new_shape[axis:axis + 1] = [out, max_w]

@@ -1,0 +1,156 @@
+"""Jitted train / eval steps.
+
+TPU-native design (contrast with the reference's eager Lightning loop,
+``/root/reference/common/pl_model_wrapper.py:243-254``):
+
+  * the whole step — forward, loss, backward, SGD update, batch-norm
+    running-stat update, and the per-sample Dice / BCE training metrics —
+    is one jitted function; only scalars and small metric vectors leave
+    the device.
+  * gradient accumulation (``--virtual-batch-size``, reference
+    ``train.py:161``) runs as a ``lax.scan`` over micro-batches inside the
+    same jitted step: gradients are averaged, batch-norm stats update per
+    micro-batch (matching torch semantics of one forward per micro-batch).
+  * donated state buffers let XLA update parameters in place.
+"""
+
+import functools
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from multimodal_fusion_fpn_tpu.metrics.device import bce_scalar, dice_per_sample
+from multimodal_fusion_fpn_tpu.train.state import TrainState
+
+MODEL_KEYS = ("image", "mask", "slo", "faf", "weight")
+
+
+def model_batch(batch: Dict) -> Dict:
+    """Select the array keys the model/loss consume (drops ids/strings)."""
+    return {k: batch[k] for k in MODEL_KEYS if k in batch}
+
+
+def make_train_step(model, tx, criterion,
+                    compute_train_metrics: bool = True,
+                    accum_steps: int = 1,
+                    donate: bool = True) -> Callable:
+    """Build the jitted train step.
+
+    With ``accum_steps == 1`` the step takes ``(state, batch, rng)`` where
+    ``batch`` values have a leading batch axis; with ``accum_steps > 1``
+    batch values have a leading ``(accum_steps, micro_batch, ...)`` shape.
+    Returns ``(state, aux)`` where aux holds the loss, per-loss values and
+    device-computed metric values.
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, batch, train=True, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        loss, parts = criterion(batch, out)
+        return loss, (parts, out, mutated["batch_stats"])
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def metrics_from(out, batch):
+        m = {}
+        if compute_train_metrics and "mask" in batch:
+            m["Dice"] = dice_per_sample(out["prediction"], batch["mask"])
+            m["BCE"] = bce_scalar(out["prediction"], batch["mask"])
+        return m
+
+    def single_step(state: TrainState, batch, rng):
+        (loss, (parts, out, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               batch_stats=new_bs, opt_state=opt_state)
+        aux = {"loss": loss, "parts": parts,
+               "metrics": metrics_from(out, batch)}
+        return new_state, aux
+
+    def accum_step(state: TrainState, batches, rng):
+        rngs = jax.random.split(rng, accum_steps)
+
+        def micro(carry, inp):
+            bs, grad_sum, loss_sum, parts_sum, metrics_acc = carry
+            mb, r = inp
+            (loss, (parts, out, new_bs)), grads = grad_fn(
+                state.params, bs, mb, r)
+            grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
+            parts_sum = jax.tree.map(jnp.add, parts_sum, parts)
+            m = metrics_from(out, mb)
+            metrics_acc = jax.tree.map(jnp.add, metrics_acc, m) \
+                if metrics_acc else m
+            return (new_bs, grad_sum, loss_sum + loss, parts_sum,
+                    metrics_acc), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        first = jax.tree.map(lambda x: x[0], batches)
+        # Probe structures for the per-loss parts with zeros.
+        zero_parts = jax.eval_shape(
+            lambda: loss_fn(state.params, state.batch_stats, first,
+                            rngs[0])[1][0])
+        zero_parts = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                  zero_parts)
+        (bs, grad_sum, loss_sum, parts_sum, metrics_acc), _ = _python_scan(
+            micro, (state.batch_stats, zero_grads, jnp.zeros(()),
+                    zero_parts, None),
+            batches, rngs, accum_steps)
+        grads = jax.tree.map(lambda g: g / accum_steps, grad_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=params,
+                               batch_stats=bs, opt_state=opt_state)
+        aux = {"loss": loss_sum / accum_steps,
+               "parts": jax.tree.map(lambda x: x / accum_steps, parts_sum),
+               "metrics": jax.tree.map(lambda x: x / accum_steps,
+                                       metrics_acc or {})}
+        return new_state, aux
+
+    fn = single_step if accum_steps == 1 else accum_step
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(fn, donate_argnums=donate_argnums)
+
+
+def _python_scan(body, carry, batches, rngs, n):
+    """Unrolled accumulation loop (keeps per-micro-batch pytrees simple;
+    accum_steps is small)."""
+    for i in range(n):
+        mb = jax.tree.map(lambda x: x[i], batches)
+        carry, _ = body(carry, (mb, rngs[i]))
+    return carry, None
+
+
+def make_eval_step(model, donate: bool = False) -> Callable:
+    """Jitted inference step (running batch-norm averages)."""
+
+    @functools.partial(jax.jit, static_argnums=())
+    def eval_step(params, batch_stats, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        return model.apply(variables, batch, train=False)
+
+    return eval_step
+
+
+def make_ensemble_eval_step(model) -> Callable:
+    """Vmapped stacked-params ensemble forward: the reference loops the 5
+    checkpoints per batch on GPU (``test_utils.py:354-360``); on TPU all
+    ensemble members run in one vmapped jitted call and the prediction
+    dicts are averaged on device."""
+
+    def one(params, batch_stats, batch):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           batch, train=False)
+
+    vmapped = jax.vmap(one, in_axes=(0, 0, None))
+
+    @jax.jit
+    def ensemble_step(stacked_params, stacked_batch_stats, batch):
+        outs = vmapped(stacked_params, stacked_batch_stats, batch)
+        return jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+
+    return ensemble_step
