@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Synchronize batch-norm statistics across data "
                              "shards (reference parity is per-replica: off).")
     parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--arch-config", type=str, default=None,
+                        help="Path to an architecture ini file overriding "
+                             "the packaged default (channels/dropout/BN).")
     parser.add_argument("--data-root", type=str, default=None,
                         help="Override the dataset root directory used by "
                              "the dataset configs.")

@@ -204,7 +204,15 @@ class FPNLateFusionRegression(FPNLateFusion):
 def build_model(config, spec: Optional[ArchSpec] = None,
                 dtype: Any = jnp.float32) -> nn.Module:
     """Instantiate a zoo model from a parsed config (CLI ``--model``)."""
-    spec = spec or load_arch_spec()
+    if spec is None:
+        arch_ini = getattr(config, "arch_config", None)
+        if arch_ini:
+            import os
+            spec = load_arch_spec(
+                os.path.splitext(os.path.basename(arch_ini))[0],
+                search_dir=os.path.dirname(os.path.abspath(arch_ini)))
+        else:
+            spec = load_arch_spec()
     cls = model_factory[config.model]
     kwargs = dict(spec=spec, n_classes=config.number_of_outputs, dtype=dtype)
     if config.fusion_modality is not None:

@@ -46,6 +46,7 @@ class DefaultConfig:
         self.metrics_train = self.build_metrics_train()
         self.metrics_val = self.build_metrics_val()
         self.meta_metric_val = self.build_meta_metric_val()
+        self.global_metrics = self.build_global_metrics()
         self.transformations = self.build_transformations()
         self.paths = self.build_paths()
 
@@ -57,6 +58,9 @@ class DefaultConfig:
         return {}
 
     def build_meta_metric_val(self):
+        return {}
+
+    def build_global_metrics(self):
         return {}
 
     def build_paths(self):

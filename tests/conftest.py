@@ -2,7 +2,7 @@ import os
 
 # Multi-device CPU mesh for sharding tests + persistent compilation cache
 # so the conv-heavy graphs compile once per machine.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -10,6 +10,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Belt and braces: a pytest plugin may import jax before this conftest
+# runs, in which case the env var alone is ignored.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..",
                                ".jax_cache"))
