@@ -270,6 +270,18 @@ class UpBlockFusion(nn.Module):
                      dtype=self.dtype, name="conv")(cat, train)
 
 
+def maybe_remat(cls, flag: bool, train_argnum: int = 2):
+    """Wrap a module class in jax.checkpoint (rematerialization) when
+    ``flag`` — the TPU memory lever for the full-volume encoder stages:
+    activations inside the block are recomputed during the backward pass
+    instead of being kept in HBM (exact same numerics).  ``train_argnum``
+    is the position of the static ``train`` flag in ``__call__``
+    (self = 0)."""
+    if not flag:
+        return cls
+    return nn.remat(cls, static_argnums=(train_argnum,))
+
+
 def max_pool(x, window: Sequence[int]):
     """VALID max pool over the spatial axes (floor semantics, like torch
     ``MaxPool3d``/``MaxPool2d`` with default stride=kernel)."""

@@ -23,7 +23,8 @@ from flax import linen as nn
 
 from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
 from multimodal_fusion_fpn_tpu.models.blocks import (
-    EncoderStage, UpBlockFusion, ZDimReduction, conv_kernel_init, max_pool)
+    EncoderStage, UpBlockFusion, ZDimReduction, conv_kernel_init, max_pool,
+    maybe_remat)
 from multimodal_fusion_fpn_tpu.models.unet3d import (
     NUM_REDUCTIONS, POOLS_3D, UPFACTORS)
 from multimodal_fusion_fpn_tpu.ops.interpolate import linear_resize
@@ -54,6 +55,7 @@ class ModifiedUnet3D2D(nn.Module):
     interpolate: Optional[str] = None
     feature_fusion: str = "concat"
     levels: int = 4  # 4 (base) or 5 (Level5 bottleneck fusion)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -64,13 +66,16 @@ class ModifiedUnet3D2D(nn.Module):
         ch, drop = spec.channels, spec.dropout
         bn = spec.is_batchnorm
         n2d = 5 if self.levels == 5 else 4
+        Stage = maybe_remat(EncoderStage, self.remat)
+        Proj = maybe_remat(ZDimReduction, self.remat)
+        Up = maybe_remat(UpBlockFusion, self.remat, train_argnum=4)
 
         # --- 2D encoder ---------------------------------------------------
         skips2d = []
         x2 = enface
         in_ch = enface.shape[-1]
         for lvl in range(n2d):
-            x2 = EncoderStage(
+            x2 = Stage(
                 ch[lvl], dropout=drop[lvl], use_bn=bn,
                 downsample=(in_ch != ch[lvl]), ndim=2, dtype=self.dtype,
                 name=f"conv{lvl + 1}_2d")(x2, train)
@@ -84,7 +89,7 @@ class ModifiedUnet3D2D(nn.Module):
         x3 = volume
         in_ch = volume.shape[-1]
         for lvl in range(5):
-            x3 = EncoderStage(
+            x3 = Stage(
                 ch[lvl], dropout=drop[lvl], use_bn=bn,
                 downsample=(in_ch != ch[lvl]), ndim=3, dtype=self.dtype,
                 name=f"conv{lvl + 1}")(x3, train)
@@ -96,7 +101,7 @@ class ModifiedUnet3D2D(nn.Module):
         # --- 3D skips: depth projection + mean -----------------------------
         projected = []
         for lvl in range(5):
-            p = ZDimReduction(
+            p = Proj(
                 ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
                 final_kernel=4, use_bn=bn, dropout=0.0, dtype=self.dtype,
                 name=f"zdimRed{lvl + 1}")(convs[lvl], train)
@@ -120,7 +125,7 @@ class ModifiedUnet3D2D(nn.Module):
 
         up = deep
         for i, lvl in enumerate((3, 2, 1, 0)):
-            up = UpBlockFusion(
+            up = Up(
                 ch[lvl], upfactor=UPFACTORS[i], mode=self.feature_fusion,
                 use_bn=bn, is_deconv=spec.is_deconv, dropout=drop[5 + i],
                 dtype=self.dtype,
@@ -136,9 +141,10 @@ class ModifiedUnet3D2D(nn.Module):
 def ModifiedUnet3D2DLevel5(spec: ArchSpec, n_classes: int = 1,
                            interpolate: Optional[str] = None,
                            feature_fusion: str = "concat",
+                           remat: bool = False,
                            dtype: Any = jnp.float32,
                            name: Optional[str] = None) -> ModifiedUnet3D2D:
     return ModifiedUnet3D2D(spec=spec, n_classes=n_classes,
                             interpolate=interpolate,
                             feature_fusion=feature_fusion, levels=5,
-                            dtype=dtype, name=name)
+                            remat=remat, dtype=dtype, name=name)

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
 from multimodal_fusion_fpn_tpu.models.blocks import (
-    EncoderStage, UpBlock2, conv_kernel_init, max_pool)
+    EncoderStage, UpBlock2, conv_kernel_init, max_pool, maybe_remat)
 from multimodal_fusion_fpn_tpu.models.fusion import POOLS_2D
 from multimodal_fusion_fpn_tpu.models.unet3d import UPFACTORS
 
@@ -26,6 +26,7 @@ class ModifiedUnet2D(nn.Module):
     n_classes: int = 1
     output_features: bool = False
     levels: int = 4  # encoder stages: 4 (base) or 5 (Level5)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -36,11 +37,13 @@ class ModifiedUnet2D(nn.Module):
         ch, drop = spec.channels, spec.dropout
         bn = spec.is_batchnorm
 
+        Stage = maybe_remat(EncoderStage, self.remat)
+        Up = maybe_remat(UpBlock2, self.remat, train_argnum=3)
         skips = []
         x = enface
         in_ch = enface.shape[-1]
         for lvl in range(self.levels):
-            x = EncoderStage(
+            x = Stage(
                 ch[lvl], dropout=drop[lvl], use_bn=bn,
                 downsample=(in_ch != ch[lvl]), ndim=2, dtype=self.dtype,
                 name=f"conv{lvl + 1}_2d")(x, train)
@@ -57,7 +60,7 @@ class ModifiedUnet2D(nn.Module):
         start = self.levels - 2  # deepest skip index to fuse
         for lvl in range(start, -1, -1):
             i = 3 - lvl  # index into UPFACTORS: up_concat{lvl+1}
-            up = UpBlock2(
+            up = Up(
                 ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
                 is_deconv=spec.is_deconv, dropout=drop[5 + i],
                 dtype=self.dtype,
@@ -73,8 +76,9 @@ class ModifiedUnet2D(nn.Module):
 
 def ModifiedUnet2DLevel5(spec: ArchSpec, n_classes: int = 1,
                          output_features: bool = False,
+                         remat: bool = False,
                          dtype: Any = jnp.float32,
                          name=None) -> ModifiedUnet2D:
     return ModifiedUnet2D(spec=spec, n_classes=n_classes,
                           output_features=output_features, levels=5,
-                          dtype=dtype, name=name)
+                          remat=remat, dtype=dtype, name=name)

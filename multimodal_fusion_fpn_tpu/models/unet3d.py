@@ -19,7 +19,8 @@ from flax import linen as nn
 
 from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
 from multimodal_fusion_fpn_tpu.models.blocks import (
-    EncoderStage, UpBlock2, ZDimReduction, conv_kernel_init, max_pool)
+    EncoderStage, UpBlock2, ZDimReduction, conv_kernel_init, max_pool,
+    maybe_remat)
 
 POOLS_3D = ((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2))
 UPFACTORS = ((2, 2, 1), (2, 2, 1), (1, 2, 1), (1, 2, 1))
@@ -32,6 +33,7 @@ class ModifiedUnet3D(nn.Module):
     use_1x1: bool = True
     original: bool = False
     classification: bool = False
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -42,10 +44,13 @@ class ModifiedUnet3D(nn.Module):
         ch, drop = spec.channels, spec.dropout
         bn = spec.is_batchnorm
 
+        Stage = maybe_remat(EncoderStage, self.remat)
+        Proj = maybe_remat(ZDimReduction, self.remat)
+        Up = maybe_remat(UpBlock2, self.remat, train_argnum=3)
         convs = []
         in_ch = x.shape[-1]
         for lvl in range(5):
-            stage = EncoderStage(
+            stage = Stage(
                 ch[lvl], dropout=drop[lvl], use_bn=bn,
                 downsample=(in_ch != ch[lvl]), ndim=3, dtype=self.dtype,
                 name=f"conv{lvl + 1}")
@@ -61,7 +66,7 @@ class ModifiedUnet3D(nn.Module):
         final_kernel = 8 if self.original else 4
         projected = []
         for lvl in range(5):
-            p = ZDimReduction(
+            p = Proj(
                 ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
                 final_kernel=final_kernel, use_bn=bn, dropout=0.0,
                 dtype=self.dtype, name=f"zdimRed{lvl + 1}")(convs[lvl], train)
@@ -71,7 +76,7 @@ class ModifiedUnet3D(nn.Module):
 
         up = projected[4]
         for i, lvl in enumerate((3, 2, 1, 0)):
-            up = UpBlock2(
+            up = Up(
                 ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
                 is_deconv=spec.is_deconv, dropout=drop[5 + i],
                 dtype=self.dtype,

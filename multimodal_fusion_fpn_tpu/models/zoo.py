@@ -51,6 +51,7 @@ class FPN(nn.Module):
     n_classes: int = 1
     fusion_modality: Optional[str] = None
     interpolate: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def last_activation(self, x):
@@ -60,7 +61,8 @@ class FPN(nn.Module):
     def __call__(self, batch, train: bool = False):
         oct = volume_to_device(batch["image"].astype(self.dtype))
         seg = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
-                             dtype=self.dtype, name="resensnet")(oct, train)
+                             remat=self.remat, dtype=self.dtype,
+                             name="resensnet")(oct, train)
         seg = seg_from_device(seg)
         return {"prediction": self.last_activation(seg)}
 
@@ -77,13 +79,15 @@ class FPNClassification(nn.Module):
     n_classes: int = 1
     fusion_modality: Optional[str] = None
     interpolate: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
         oct = volume_to_device(batch["image"].astype(self.dtype))
         feats = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
-                               classification=True, dtype=self.dtype,
+                               classification=True, remat=self.remat,
+                               dtype=self.dtype,
                                name="resensnet")(oct, train)
         pred = nn.Conv(self.n_classes, kernel_size=(1, 1, 1), use_bias=False,
                        kernel_init=conv_kernel_init, dtype=self.dtype,
@@ -100,6 +104,7 @@ class FPNHybridFusion(nn.Module):
     fusion_modality: str = "slo"
     interpolate: Optional[str] = None
     feature_fusion: str = "concat"
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def last_activation(self, x):
@@ -114,7 +119,8 @@ class FPNHybridFusion(nn.Module):
             self.spec, n_classes=self.n_classes,
             interpolate=self.interpolate,
             feature_fusion=self.feature_fusion, levels=5,
-            dtype=self.dtype, name="resensnet")(oct, enface, train)
+            remat=self.remat, dtype=self.dtype,
+            name="resensnet")(oct, enface, train)
         seg = seg_from_device(seg)
         return {"prediction": self.last_activation(seg)}
 
@@ -131,6 +137,7 @@ class FPN2D(nn.Module):
     n_classes: int = 1
     fusion_modality: str = "slo"
     interpolate: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,7 +145,8 @@ class FPN2D(nn.Module):
         enface = enface_to_device(
             batch[self.fusion_modality].astype(self.dtype))
         seg = ModifiedUnet2D(self.spec, n_classes=self.n_classes, levels=5,
-                             dtype=self.dtype, name="resensnet")(enface, train)
+                             remat=self.remat, dtype=self.dtype,
+                             name="resensnet")(enface, train)
         seg = seg_from_device(seg)
         seg = nn.sigmoid(seg)
         if "mask" in batch and seg.shape != batch["mask"].shape:
@@ -154,6 +162,7 @@ class FPNLateFusion(nn.Module):
     n_classes: int = 1
     fusion_modality: str = "slo"
     interpolate: Optional[str] = None
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def last_activation(self, x):
@@ -163,7 +172,8 @@ class FPNLateFusion(nn.Module):
     def __call__(self, batch, train: bool = False):
         oct = volume_to_device(batch["image"].astype(self.dtype))
         oct_feat = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
-                                  use_1x1=False, dtype=self.dtype,
+                                  use_1x1=False, remat=self.remat,
+                                  dtype=self.dtype,
                                   name="resensnet3d")(oct, train)
         oct_feat = seg_from_device(oct_feat)  # (B, C0, Y, 1, X)
 
@@ -171,7 +181,7 @@ class FPNLateFusion(nn.Module):
             batch[self.fusion_modality].astype(self.dtype))
         fused_feat = ModifiedUnet2D(self.spec, n_classes=self.n_classes,
                                     output_features=True, levels=5,
-                                    dtype=self.dtype,
+                                    remat=self.remat, dtype=self.dtype,
                                     name="resensnet2d")(enface, train)
         fused_feat = seg_from_device(fused_feat)  # (B, C0, H2, 1, W2)
 
@@ -202,7 +212,7 @@ class FPNLateFusionRegression(FPNLateFusion):
 
 
 def build_model(config, spec: Optional[ArchSpec] = None,
-                dtype: Any = jnp.float32) -> nn.Module:
+                dtype: Any = jnp.float32, remat: bool = True) -> nn.Module:
     """Instantiate a zoo model from a parsed config (CLI ``--model``)."""
     if spec is None:
         arch_ini = getattr(config, "arch_config", None)
@@ -214,7 +224,8 @@ def build_model(config, spec: Optional[ArchSpec] = None,
         else:
             spec = load_arch_spec()
     cls = model_factory[config.model]
-    kwargs = dict(spec=spec, n_classes=config.number_of_outputs, dtype=dtype)
+    kwargs = dict(spec=spec, n_classes=config.number_of_outputs, dtype=dtype,
+                  remat=remat)
     if config.fusion_modality is not None:
         kwargs["fusion_modality"] = config.fusion_modality
     if config.model in ("FPNHybridFusion", "FPNHybridFusionRegression",
