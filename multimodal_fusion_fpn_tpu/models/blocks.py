@@ -52,6 +52,80 @@ def conv_bias_init_for_rank(ndim_spatial: int):
     return nn.initializers.normal(stddev=1.0)
 
 
+class TpuConv(nn.Module):
+    """Convolution with a TPU-native lowering choice.
+
+    ``impl='auto'`` uses the banded block-matmul formulation
+    (:mod:`..ops.banded`) for narrow-channel convs (C_out <= 64), which
+    XLA otherwise pads 8x on the lane dim, and ``lax.conv`` for wide
+    convs where the native lowering is already efficient.  Convs whose
+    innermost spatial extent is 1 (the z-collapsed decoder) are computed
+    as 2D convs blocked along the en-face width.  Parameter names/shapes
+    match ``nn.Conv`` exactly ('kernel' (k..., Ci, Co), 'bias' (Co,)),
+    so checkpoints are interchangeable between implementations.
+    """
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    strides: Tuple[int, ...]
+    padding: Tuple[int, ...]
+    use_bias: bool = True
+    kernel_init: Any = None
+    bias_init: Any = None
+    impl: str = "auto"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from multimodal_fusion_fpn_tpu.ops.banded import banded_conv
+        ci = x.shape[-1]
+        co = self.features
+        k = tuple(self.kernel_size)
+        kernel = self.param("kernel", self.kernel_init or conv_kernel_init,
+                            k + (ci, co), jnp.float32)
+        bias = self.param("bias",
+                          self.bias_init or nn.initializers.zeros,
+                          (co,), jnp.float32) if self.use_bias else None
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        use_banded = (self.impl == "banded"
+                      or (self.impl == "auto" and co <= 64))
+        strides = tuple(self.strides)
+        if use_banded and k[-1] == 1 and strides[-1] > 1 \
+                and self.padding[-1] == 0:
+            # kz=1 strided conv == conv on the z-sliced input (avoids the
+            # huge banded window of strided blocks).
+            sl = [slice(None)] * x.ndim
+            sl[-2] = slice(0, None, strides[-1])
+            x = x[tuple(sl)]
+            strides = strides[:-1] + (1,)
+        if use_banded:
+            squeeze_z = (x.ndim == 5 and x.shape[3] == 1 and k[-1] == 1)
+            if squeeze_z:
+                # z-collapsed decoder: 2D conv blocked along width X
+                y = banded_conv(x[:, :, :, 0, :], kernel[..., 0, :, :],
+                                strides[:-1], self.padding[:-1],
+                                preferred_element_type=jnp.float32)
+                y = y[:, :, :, None, :]
+            else:
+                y = banded_conv(x, kernel, strides, self.padding,
+                                preferred_element_type=jnp.float32)
+            y = y.astype(self.dtype)
+        else:
+            nsp = len(k)
+            lhs_spec = "N" + "DHW"[3 - nsp:] + "C"
+            rhs_spec = "DHW"[3 - nsp:] + "IO"
+            y = jax.lax.conv_general_dilated(
+                x, kernel, tuple(self.strides),
+                [(p, p) for p in self.padding],
+                dimension_numbers=(lhs_spec, rhs_spec, lhs_spec),
+                preferred_element_type=self.dtype)
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class ConvX(nn.Module):
     """Residual conv block.  ``kernels[i]`` applied with BN+ReLU between
     convs and BN (no ReLU) after the last; residual path is identity or a
@@ -75,11 +149,11 @@ class ConvX(nn.Module):
         out = x
         n = len(self.kernels)
         for i in range(n):
-            out = nn.Conv(
+            out = TpuConv(
                 self.features,
                 kernel_size=self.kernels[i],
                 strides=self.strides[i],
-                padding=[(p, p) for p in self.paddings[i]],
+                padding=self.paddings[i],
                 use_bias=not self.use_bn,
                 kernel_init=conv_kernel_init,
                 bias_init=bias_init,
@@ -100,11 +174,11 @@ class ConvX(nn.Module):
         if self.residual:
             if self.downsample:
                 ds_strides = self.downsample_strides or (1,) * ndim_spatial
-                res = nn.Conv(
+                res = TpuConv(
                     self.features,
                     kernel_size=(1,) * ndim_spatial,
                     strides=ds_strides,
-                    padding="VALID",
+                    padding=(0,) * ndim_spatial,
                     use_bias=not self.use_bn,
                     kernel_init=conv_kernel_init,
                     bias_init=bias_init,

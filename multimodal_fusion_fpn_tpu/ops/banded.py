@@ -1,0 +1,148 @@
+"""Banded block-matmul convolution for narrow-channel convs on TPU.
+
+Why this exists: XLA's TPU convolution lowering pins the channel dim to
+the 128-wide lane dimension.  This model family (reference ini widths
+16..256, ``models/fpn/*.ini``) runs its *hottest* convs at 16/32
+channels over full OCT volumes, so every activation buffer is padded
+16→128 (8x HBM waste) and the MXU runs at ~1/8 column occupancy — the
+measured result is ~2.5 img/s on a v5e chip.
+
+The TPU-native formulation: block the innermost long spatial axis (depth
+Z for the encoder, width X for the z-collapsed decoder) into groups of
+``block`` outputs and compute each group as ONE dense matmul
+
+    P[..., nb, W*Ci] @ W2[W*Ci, block*Co]
+
+where ``W = (block-1)*stride + k`` is the input window per block and
+``W2`` is the *banded* expansion of the conv kernel (zeros off the
+band), built inside the jitted function from the logical parameters so
+autodiff produces correct kernel gradients with no custom VJP.  With
+C=16 and block=8 the matmul is K=160 x N=128: full lane occupancy, no
+layout padding anywhere, at the cost of a ~W/k logical-FLOP expansion —
+a large net win over 8x-padded lax.conv.
+
+Taps over the remaining spatial dims (B-scan index, en-face width) are
+folded by summing shifted dots.  Works for any rank: the conv is over
+the trailing ``w.ndim - 2`` spatial dims of a channels-last array.
+"""
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def _out_size(n: int, k: int, stride: int, pad: int) -> int:
+    return (n + 2 * pad - k) // stride + 1
+
+
+def banded_conv(x: jnp.ndarray, w: jnp.ndarray,
+                strides: Sequence[int],
+                padding: Sequence[Tuple[int, int] or int],
+                block: int = 8,
+                preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Convolution over the trailing spatial dims of a channels-last array,
+    blocked along the LAST spatial dim.
+
+    Args:
+        x: (B, S1..Sn, C_in) channels-last input.
+        w: (k1..kn, C_in, C_out) kernel.
+        strides: per-spatial-dim strides; only the last dim may be > 1.
+        padding: per-spatial-dim symmetric padding (ints).
+        block: outputs per matmul block along the last spatial dim.
+    """
+    nsp = w.ndim - 2
+    assert x.ndim == nsp + 2, (x.shape, w.shape)
+    ks = w.shape[:nsp]
+    ci, co = w.shape[-2], w.shape[-1]
+    pads = [p if isinstance(p, int) else p[0] for p in padding]
+    strides = tuple(strides)
+    assert all(s == 1 for s in strides[:-1]), strides
+    sz = strides[-1]
+    kz = ks[-1]
+    pz = pads[-1]
+
+    spatial = x.shape[1:-1]
+    z = spatial[-1]
+    z_out = _out_size(z, kz, sz, pz)
+    nb = -(-z_out // block)  # ceil
+    win = (block - 1) * sz + kz  # input extent per output block
+
+    # ---- pad: outer taps (zeros) on the leading spatial dims, and on z:
+    # left pad pz, right pad enough to cover the last block's window.
+    z_ext_needed = max((nb - 1) * block * sz + win, nb * block * sz)
+    pad_cfg = [(0, 0)]
+    for d in range(nsp - 1):
+        pad_cfg.append((pads[d], pads[d]))
+    pad_cfg.append((pz, max(0, z_ext_needed - z - pz)))
+    pad_cfg.append((0, 0))
+    xp = jnp.pad(x, pad_cfg)
+
+    # ---- patches along z: (..., nb, win, ci)
+    bs = block * sz
+    zp = xp.shape[-2]
+    main = lax.slice_in_dim(xp, 0, nb * bs, axis=-2)
+    new_shape = main.shape[:-2] + (nb, bs, ci)
+    main = main.reshape(new_shape)
+    extra = win - bs
+    if extra > 0:
+        # rows [i*bs + bs, i*bs + bs + extra) per block: shift by one
+        # block, reshape, keep the first `extra` rows of each block.
+        tail_src = lax.slice_in_dim(xp, bs, min(zp, bs + nb * bs), axis=-2)
+        pad_tail = nb * bs - tail_src.shape[-2]
+        if pad_tail > 0:
+            cfg = [(0, 0)] * tail_src.ndim
+            cfg[-2] = (0, pad_tail)
+            tail_src = jnp.pad(tail_src, cfg)
+        tail = tail_src.reshape(new_shape)
+        tail = lax.slice_in_dim(tail, 0, extra, axis=-2)
+        patches = jnp.concatenate([main, tail], axis=-2)
+    elif extra < 0:
+        patches = lax.slice_in_dim(main, 0, win, axis=-2)
+    else:
+        patches = main
+    # flatten (win, ci) -> K
+    patches = patches.reshape(patches.shape[:-2] + (win * ci,))
+
+    # ---- banded weight expansion: W2[(zz, i), (j, o)] = w[..., dz, i, o]
+    # where zz = j*sz + dz.  Built per leading tap (k1..k_{n-1}).
+    j_idx = np.arange(block)
+    lead_taps = list(np.ndindex(*ks[:-1])) if nsp > 1 else [()]
+
+    out = None
+    out_sizes = [ _out_size(spatial[d], ks[d], 1, pads[d])
+                  for d in range(nsp - 1) ]
+    for tap in lead_taps:
+        # slice the shifted window over the leading spatial dims
+        sl = patches
+        for d, t in enumerate(tap):
+            sl = lax.slice_in_dim(sl, t, t + out_sizes[d], axis=1 + d)
+        w_tap = w[tap] if tap else w  # (kz, ci, co)
+        w2 = jnp.zeros((win, ci, block, co), dtype=w.dtype)
+        for dz in range(kz):
+            w2 = w2.at[j_idx * sz + dz, :, j_idx, :].add(
+                jnp.broadcast_to(w_tap[dz], (block, ci, co)))
+        w2 = jnp.transpose(w2, (0, 1, 2, 3)).reshape(win * ci, block * co)
+        t_out = lax.dot_general(
+            sl, w2, dimension_numbers=(((sl.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=preferred_element_type)
+        out = t_out if out is None else out + t_out
+
+    # (..., nb, block*co) -> (..., nb*block, co) -> slice true z_out
+    out = out.reshape(out.shape[:-1] + (block, co))
+    out = out.reshape(out.shape[:-3] + (nb * block, co))
+    out = lax.slice_in_dim(out, 0, z_out, axis=-2)
+    return out.astype(preferred_element_type)
+
+
+def conv_reference(x, w, strides, padding):
+    """lax.conv with the same channels-last convention (for tests)."""
+    nsp = w.ndim - 2
+    lhs_spec = "N" + "DHW"[3 - nsp:] + "C"
+    rhs_spec = "DHW"[3 - nsp:] + "IO"
+    pads = [(p, p) if isinstance(p, int) else p for p in padding]
+    return lax.conv_general_dilated(
+        x, w, tuple(strides), pads,
+        dimension_numbers=(lhs_spec, rhs_spec, lhs_spec))
