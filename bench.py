@@ -41,9 +41,9 @@ def main():
     from multimodal_fusion_fpn_tpu.train.state import create_train_state
     from multimodal_fusion_fpn_tpu.train.step import make_train_step
 
-    configs = [(1, "fp32")]  # (batch, precision) candidates, best-first
+    configs = [(8, "bf16")]  # (batch, precision) candidates, best-first
     if "--sweep" in sys.argv:
-        configs = [(2, "fp32"), (1, "fp32"), (4, "bf16"), (2, "bf16")]
+        configs = [(8, "bf16"), (4, "fp32"), (16, "bf16"), (1, "fp32")]
 
     Y, X, Z = 32, 128, 496
     rng = np.random.default_rng(0)
@@ -69,6 +69,9 @@ def main():
             step = make_train_step(model, tx, criterion)
             state, aux = step(state, batch, jax.random.PRNGKey(1))
             float(aux["loss"])  # force compile + first run
+            # timing: dispatch N steps, fetch only the last loss —
+            # execution is in-order, and on remote-tunnel platforms
+            # block_until_ready is unreliable while a scalar fetch is not.
             n_iter = 10
             t0 = time.time()
             for i in range(n_iter):
