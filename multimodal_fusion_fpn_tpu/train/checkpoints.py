@@ -27,7 +27,10 @@ def _to_host(tree):
 
 
 def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
-    data = serialization.msgpack_serialize(_to_host(tree))
+    # to_state_dict converts tuples / optax states into plain dicts that
+    # msgpack can serialize.
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_host(tree)))
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -39,6 +42,10 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
         raw = serialization.msgpack_restore(f.read())
     if template is None:
         return raw
+    # Tolerate extra top-level entries (e.g. optimizer state in
+    # last.ckpt) when the caller only wants the weights.
+    if isinstance(template, dict) and isinstance(raw, dict):
+        raw = {k: v for k, v in raw.items() if k in template}
     return serialization.from_state_dict(template, raw)
 
 

@@ -102,9 +102,13 @@ def main(config, data_config, model_path, training_file_list,
         print("Training interrupted")
     else:
         print("===> Saving last model")
+        # last.ckpt also carries the optimizer state and step for exact
+        # resume (extension over the reference's weights-only save).
         save_checkpoint(join(model_path, "last.ckpt"),
                         {"params": state.params,
-                         "batch_stats": state.batch_stats})
+                         "batch_stats": state.batch_stats,
+                         "opt_state": state.opt_state,
+                         "step": np.asarray(state.step)})
 
 
 def train_with_split(config, data_config, split, idx, split_path):
