@@ -140,6 +140,7 @@ def _projection_kernel(x_ref, *refs, num_reductions: int,
 def projection_head_pallas(x: jnp.ndarray,
                            cascade: List[Tuple],
                            ds, final: Tuple,
+                           x_tile: int = 16,
                            interpret: bool = False) -> jnp.ndarray:
     """Fused projection head.  x: (B, Y, X, Z, C) → (B, Y, X, 1, C)."""
     b, y, xdim, z, c = x.shape
@@ -157,19 +158,24 @@ def projection_head_pallas(x: jnp.ndarray,
                 jnp.asarray(final[1], jnp.float32)]
 
     x3 = x.reshape(b * y, xdim, z, c)
+    while xdim % x_tile:
+        x_tile //= 2
+    n_x = xdim // x_tile
 
     kernel = partial(_projection_kernel, num_reductions=num_reductions,
                      final_kernel=final_kernel)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b * y, xdim, 1, c), jnp.float32),
-        grid=(b * y,),
-        in_specs=[pl.BlockSpec((1, xdim, z, c), lambda i: (i, 0, 0, 0),
+        grid=(b * y, n_x),
+        in_specs=[pl.BlockSpec((1, x_tile, z, c),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM)] +
                  [pl.BlockSpec(w.shape,
-                               (lambda nd: lambda i: (0,) * nd)(w.ndim),
+                               (lambda nd: lambda i, j: (0,) * nd)(w.ndim),
                                memory_space=pltpu.VMEM) for w in weights],
-        out_specs=pl.BlockSpec((1, xdim, 1, c), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, x_tile, 1, c),
+                               lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x3, *weights)
