@@ -76,8 +76,9 @@ class TpuConv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        from multimodal_fusion_fpn_tpu.ops.banded import banded_conv
+    def __call__(self, x, blocked: bool = False):
+        from multimodal_fusion_fpn_tpu.ops.banded import (banded_conv,
+                                                          banded_conv_blocked)
         ci = x.shape[-1]
         co = self.features
         k = tuple(self.kernel_size)
@@ -88,6 +89,15 @@ class TpuConv(nn.Module):
                           (co,), jnp.float32) if self.use_bias else None
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+
+        if blocked:
+            # x is (B, Y, X, nb, bs, Ci) — conv stays in blocked form.
+            y = banded_conv_blocked(x, kernel,
+                                    preferred_element_type=jnp.float32)
+            y = y.astype(self.dtype)
+            if bias is not None:
+                y = y + bias.astype(self.dtype)
+            return y
 
         use_banded = (self.impl == "banded"
                       or (self.impl == "auto" and co <= 64))
@@ -142,10 +152,42 @@ class ConvX(nn.Module):
     downsample_strides: Optional[Kernel] = None
     dtype: Any = jnp.float32
 
+    def _blocked_block_size(self, x) -> Optional[int]:
+        """Pick a z-block size for the blocked fast path, or None.
+
+        The whole ConvX chain (convs, BN, ReLU, residual) runs on
+        z-blocked activations when every conv is a stride-1 SAME conv
+        with taps in {1,3}, the channel count is narrow, and z divides
+        by a usable block size — i.e. the full-volume encoder stages,
+        which otherwise materialize 8x-padded (.., Z, C) intermediates.
+        """
+        if x.ndim != 5 or self.features > 64:
+            return None
+        z = x.shape[3]
+        for k, s, p in zip(self.kernels, self.strides, self.paddings):
+            if len(k) != 3 or any(kk not in (1, 3) for kk in k):
+                return None
+            if any(ss != 1 for ss in s):
+                return None
+            if tuple(p) != tuple(kk // 2 for kk in k):
+                return None
+        if self.downsample and self.downsample_strides not in (
+                None, (1, 1, 1)):
+            return None
+        for bs in (8, 4, 2):
+            if z % bs == 0 and z > bs:
+                return bs
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         ndim_spatial = len(self.kernels[0])
         bias_init = conv_bias_init_for_rank(ndim_spatial)
+        bs = self._blocked_block_size(x)
+        blocked = bs is not None
+        if blocked:
+            b, yd, xd, z, c = x.shape
+            x = x.reshape(b, yd, xd, z // bs, bs, c)
         out = x
         n = len(self.kernels)
         for i in range(n):
@@ -159,7 +201,7 @@ class ConvX(nn.Module):
                 bias_init=bias_init,
                 dtype=self.dtype,
                 name=f"conv{i}",
-            )(out)
+            )(out, blocked=blocked)
             if self.use_bn:
                 out = nn.BatchNorm(
                     use_running_average=not train,
@@ -184,7 +226,7 @@ class ConvX(nn.Module):
                     bias_init=bias_init,
                     dtype=self.dtype,
                     name="ds_conv",
-                )(x)
+                )(x, blocked=blocked)
                 if self.use_bn:
                     res = nn.BatchNorm(
                         use_running_average=not train,
@@ -200,6 +242,9 @@ class ConvX(nn.Module):
         out = nn.relu(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        if blocked:
+            b, yd, xd, nb, bsz, co = out.shape
+            out = out.reshape(b, yd, xd, nb * bsz, co)
         return out
 
 

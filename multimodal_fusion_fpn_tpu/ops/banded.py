@@ -146,3 +146,63 @@ def conv_reference(x, w, strides, padding):
     return lax.conv_general_dilated(
         x, w, tuple(strides), pads,
         dimension_numbers=(lhs_spec, rhs_spec, lhs_spec))
+
+
+def _w2_blocked(w_tap: jnp.ndarray, block: int) -> jnp.ndarray:
+    """Banded weight expansion for blocked stride-1 convs.
+
+    w_tap: (kz, Ci, Co) with kz in {1, 3}.  For kz=3 the block window is
+    [prev-tail(1), block, next-head(1)] so output j reads zz = j + dz; for
+    kz=1 the window is the block itself (diagonal band).
+    """
+    kz, ci, co = w_tap.shape
+    win = block + (2 if kz == 3 else 0)
+    w2 = jnp.zeros((win, ci, block, co), dtype=w_tap.dtype)
+    j = np.arange(block)
+    for dz in range(kz):
+        w2 = w2.at[j + dz, :, j, :].add(
+            jnp.broadcast_to(w_tap[dz], (block, ci, co)))
+    return w2.reshape(win * ci, block * co)
+
+
+def banded_conv_blocked(x6: jnp.ndarray, w: jnp.ndarray,
+                        preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Stride-1 conv on BLOCKED activations — input and output stay in the
+    z-blocked form, so no (.., Z, C) intermediate is ever materialized
+    (the layout XLA pads 8x for narrow channels).
+
+    x6: (B, Y, X, nb, bs, Ci) with z = nb*bs exactly (no tail padding).
+    w:  (ky, kx, kz, Ci, Co), ky/kx/kz in {1, 3}, SAME padding
+        (ky//2, kx//2, kz//2).  Returns (B, Y, X, nb, bs, Co).
+    """
+    b, yd, xd, nb, bs, ci = x6.shape
+    ky, kx, kz, _, co = w.shape
+
+    if kz == 3:
+        zpad = jnp.zeros((b, yd, xd, 1, 1, ci), x6.dtype)
+        prev_tail = jnp.concatenate(
+            [zpad, x6[:, :, :, :-1, -1:, :]], axis=3)
+        next_head = jnp.concatenate(
+            [x6[:, :, :, 1:, :1, :], zpad], axis=3)
+        patches = jnp.concatenate([prev_tail, x6, next_head], axis=4)
+        win = bs + 2
+    else:
+        patches = x6
+        win = bs
+    patches = patches.reshape(b, yd, xd, nb, win * ci)
+
+    pad_cfg = [(0, 0), (ky // 2, ky // 2), (kx // 2, kx // 2),
+               (0, 0), (0, 0)]
+    pp = jnp.pad(patches, pad_cfg)
+
+    out = None
+    for dy in range(ky):
+        for dx in range(kx):
+            sl = lax.slice_in_dim(pp, dy, dy + yd, axis=1)
+            sl = lax.slice_in_dim(sl, dx, dx + xd, axis=2)
+            t = lax.dot_general(
+                sl, _w2_blocked(w[dy, dx], bs),
+                dimension_numbers=(((4,), (0,)), ((), ())),
+                preferred_element_type=preferred_element_type)
+            out = t if out is None else out + t
+    return out.reshape(b, yd, xd, nb, bs, co).astype(preferred_element_type)
