@@ -104,3 +104,14 @@ def test_train_and_ensemble_eval(run_dirs, monkeypatch):
     with pytest.raises(SystemExit) as exc:
         eval_entry.run(eval_argv)
     assert exc.value.code == 0
+
+    # --- noise-robustness evaluation (separate output tree) -----------
+    noise_argv = _common_argv(run_dirs, ["--noise", "slo-gaussian",
+                                         "--noise-level", "0.2"])
+    eval_entry.run(noise_argv)
+    noise_found = []
+    for dirpath, _dirnames, filenames in os.walk(
+            join(str(run_dirs["root"]), "__test", "slo-gaussian-0.2")):
+        if "mean_results.json" in filenames:
+            noise_found.append(dirpath)
+    assert len(noise_found) == 1
