@@ -38,7 +38,8 @@ class Trainer:
                  save_top_k: int = 5,
                  early_stopping: Optional[int] = None,
                  seed: int = 1234,
-                 save_debug_images: bool = True):
+                 save_debug_images: bool = True,
+                 mesh=None, bn_sync: bool = True):
         self.model = model
         self.tx = tx
         self.criterion = criterion
@@ -54,8 +55,15 @@ class Trainer:
         self.seed = seed
         self.save_debug_images = save_debug_images
 
-        self.train_step = make_train_step(model, tx, criterion,
-                                          accum_steps=self.vbs)
+        self.mesh = mesh
+        if mesh is not None and self.vbs == 1:
+            from multimodal_fusion_fpn_tpu.parallel.step import \
+                make_dp_train_step
+            self.train_step = make_dp_train_step(model, tx, criterion,
+                                                 mesh, bn_sync=bn_sync)
+        else:
+            self.train_step = make_train_step(model, tx, criterion,
+                                              accum_steps=self.vbs)
         self.eval_step = make_eval_step(model)
         self.checkpointer = TopKCheckpointer(
             model_path, monitor=monitor, mode=monitor_mode,
@@ -79,6 +87,10 @@ class Trainer:
         step_in_epoch = 0
         for batch in loader:
             mb = model_batch(batch)
+            if self.mesh is not None:
+                from multimodal_fusion_fpn_tpu.parallel.mesh import \
+                    shard_batch
+                mb = shard_batch(mb, self.mesh)
             if self.vbs > 1:
                 pending.append((mb, batch))
                 if len(pending) < self.vbs:

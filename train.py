@@ -69,6 +69,16 @@ def main(config, data_config, model_path, training_file_list,
     state = create_train_state(model, tx, rng, example)
     print_net_info(state.params)
 
+    mesh = None
+    n_dev = len(jax.devices())
+    if config.mesh or (n_dev > 1 and batch_size % n_dev == 0):
+        from multimodal_fusion_fpn_tpu.parallel.mesh import (make_mesh,
+                                                             shard_state)
+        mesh = make_mesh(config.mesh)
+        print("Device mesh:", dict(zip(mesh.axis_names,
+                                       mesh.devices.shape)))
+        state = shard_state(state, mesh)
+
     if config.model_weights is not None:
         print("Loading pretrained model from", config.model_weights)
         tree = load_checkpoint(config.model_weights,
@@ -93,7 +103,8 @@ def main(config, data_config, model_path, training_file_list,
         monitor=data_config.monitor,
         monitor_mode=data_config.monitor_mode,
         early_stopping=config.early_stopping,
-        seed=config.seed)
+        seed=config.seed,
+        mesh=mesh, bn_sync=config.bn_sync)
 
     print("===> Begin training")
     state = trainer.fit(state, train_loader, val_loader)
