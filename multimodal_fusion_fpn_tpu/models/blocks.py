@@ -111,15 +111,18 @@ class TpuConv(nn.Module):
             x = x[tuple(sl)]
             strides = strides[:-1] + (1,)
         if use_banded:
+            block = min(16, max(2, 128 // co))
             squeeze_z = (x.ndim == 5 and x.shape[3] == 1 and k[-1] == 1)
             if squeeze_z:
                 # z-collapsed decoder: 2D conv blocked along width X
                 y = banded_conv(x[:, :, :, 0, :], kernel[..., 0, :, :],
                                 strides[:-1], self.padding[:-1],
+                                block=block,
                                 preferred_element_type=jnp.float32)
                 y = y[:, :, :, None, :]
             else:
                 y = banded_conv(x, kernel, strides, self.padding,
+                                block=block,
                                 preferred_element_type=jnp.float32)
             y = y.astype(self.dtype)
         else:
@@ -174,9 +177,15 @@ class ConvX(nn.Module):
         if self.downsample and self.downsample_strides not in (
                 None, (1, 1, 1)):
             return None
-        for bs in (8, 4, 2):
+        # The banded FLOP expansion is win/kz = ((bs-1)+kz)/kz — smaller
+        # blocks waste fewer FLOPs, but N = bs*C_out must fill the 128
+        # lanes.  Pick bs ~ 128/C_out, falling back to smaller divisors.
+        bs_pref = min(8, max(2, 128 // self.features))
+        bs = bs_pref
+        while bs >= 2:
             if z % bs == 0 and z > bs:
                 return bs
+            bs //= 2
         return None
 
     @nn.compact

@@ -80,29 +80,27 @@ def banded_conv(x: jnp.ndarray, w: jnp.ndarray,
     pad_cfg.append((0, 0))
     xp = jnp.pad(x, pad_cfg)
 
-    # ---- patches along z: (..., nb, win, ci)
+    # ---- patches along z: (..., nb, win, ci), built from block-shifted
+    # views (window rows [i*bs + s*bs, i*bs + s*bs + take) per shift s).
     bs = block * sz
     zp = xp.shape[-2]
-    main = lax.slice_in_dim(xp, 0, nb * bs, axis=-2)
-    new_shape = main.shape[:-2] + (nb, bs, ci)
-    main = main.reshape(new_shape)
-    extra = win - bs
-    if extra > 0:
-        # rows [i*bs + bs, i*bs + bs + extra) per block: shift by one
-        # block, reshape, keep the first `extra` rows of each block.
-        tail_src = lax.slice_in_dim(xp, bs, min(zp, bs + nb * bs), axis=-2)
-        pad_tail = nb * bs - tail_src.shape[-2]
-        if pad_tail > 0:
-            cfg = [(0, 0)] * tail_src.ndim
-            cfg[-2] = (0, pad_tail)
-            tail_src = jnp.pad(tail_src, cfg)
-        tail = tail_src.reshape(new_shape)
-        tail = lax.slice_in_dim(tail, 0, extra, axis=-2)
-        patches = jnp.concatenate([main, tail], axis=-2)
-    elif extra < 0:
-        patches = lax.slice_in_dim(main, 0, win, axis=-2)
-    else:
-        patches = main
+    new_shape = xp.shape[:-2] + (nb, bs, ci)
+    parts = []
+    offset = 0
+    while offset < win:
+        src = lax.slice_in_dim(xp, offset, min(zp, offset + nb * bs),
+                               axis=-2)
+        pad_rows = nb * bs - src.shape[-2]
+        if pad_rows > 0:
+            cfg = [(0, 0)] * src.ndim
+            cfg[-2] = (0, pad_rows)
+            src = jnp.pad(src, cfg)
+        blocks = src.reshape(new_shape)
+        take = min(bs, win - offset)
+        parts.append(lax.slice_in_dim(blocks, 0, take, axis=-2))
+        offset += bs
+    patches = parts[0] if len(parts) == 1 else jnp.concatenate(parts,
+                                                               axis=-2)
     # flatten (win, ci) -> K
     patches = patches.reshape(patches.shape[:-2] + (win * ci,))
 

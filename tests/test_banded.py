@@ -26,9 +26,10 @@ CASES_2D = [
 ]
 
 
+@pytest.mark.parametrize("block", [2, 4, 8])
 @pytest.mark.parametrize("kernel,strides,padding", CASES_3D)
 @pytest.mark.parametrize("z", [64, 62, 31, 17])
-def test_banded_conv3d_matches_lax(kernel, strides, padding, z):
+def test_banded_conv3d_matches_lax(kernel, strides, padding, z, block):
     if kernel[-1] > z:
         pytest.skip("kernel larger than axis")
     rng = np.random.default_rng(0)
@@ -36,7 +37,7 @@ def test_banded_conv3d_matches_lax(kernel, strides, padding, z):
     x = jnp.asarray(rng.normal(size=(2, 4, 6, z, ci)).astype(np.float32))
     w = jnp.asarray(rng.normal(size=kernel + (ci, co)).astype(np.float32))
     expected = conv_reference(x, w, strides, padding)
-    got = banded_conv(x, w, strides, padding, block=8)
+    got = banded_conv(x, w, strides, padding, block=block)
     assert got.shape == expected.shape, (got.shape, expected.shape)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                rtol=2e-4, atol=2e-4)
