@@ -43,7 +43,7 @@ def main():
 
     # (batch, precision, remat) candidates, best-first.  remat=False is
     # ~20% faster when the no-remat memory fits (see PERF.md).
-    configs = [(4, "fp32", False)]
+    configs = [(4, "fp32", False), (8, "bf16", True), (1, "fp32", True)]
     if "--sweep" in sys.argv:
         configs = [(4, "fp32", False), (8, "bf16", False), (8, "bf16", True),
                    (4, "fp32", True), (1, "fp32", True)]
@@ -86,6 +86,8 @@ def main():
                   f"{img_s:.2f} img/s", file=sys.stderr)
             if best is None or img_s > best[0]:
                 best = (img_s, B, prec, remat, dt)
+            if "--sweep" not in sys.argv:
+                break  # default mode: first working config wins
         except Exception as exc:  # OOM at this config — try the next
             print(f"# B={B} {prec} failed: {str(exc)[:120]}",
                   file=sys.stderr)

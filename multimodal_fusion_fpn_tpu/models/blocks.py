@@ -111,7 +111,7 @@ class TpuConv(nn.Module):
             x = x[tuple(sl)]
             strides = strides[:-1] + (1,)
         if use_banded:
-            block = min(16, max(2, 128 // co))
+            block = 8
             squeeze_z = (x.ndim == 5 and x.shape[3] == 1 and k[-1] == 1)
             if squeeze_z:
                 # z-collapsed decoder: 2D conv blocked along width X
@@ -177,15 +177,13 @@ class ConvX(nn.Module):
         if self.downsample and self.downsample_strides not in (
                 None, (1, 1, 1)):
             return None
-        # The banded FLOP expansion is win/kz = ((bs-1)+kz)/kz — smaller
-        # blocks waste fewer FLOPs, but N = bs*C_out must fill the 128
-        # lanes.  Pick bs ~ 128/C_out, falling back to smaller divisors.
-        bs_pref = min(8, max(2, 128 // self.features))
-        bs = bs_pref
-        while bs >= 2:
+        # NOTE: bs ~ 128/C_out would halve the banded FLOP expansion at
+        # the 32/64-channel levels, but measured +1.3G HBM (extra patch
+        # temps in the backward) pushes the flagship config OOM — kept at
+        # the largest dividing block for now (see PERF.md roadmap).
+        for bs in (8, 4, 2):
             if z % bs == 0 and z > bs:
                 return bs
-            bs //= 2
         return None
 
     @nn.compact

@@ -63,13 +63,13 @@ def test_blocked_block_size_conditions():
     wide = ConvX(features=128, kernels=((1, 3, 3),),
                  strides=((1, 1, 1),), paddings=((0, 1, 1),))
     assert wide._blocked_block_size(x) is None
-    # wider channels pick smaller blocks (N ~ 128 lanes)
+    # largest dividing block is used at every width (see PERF.md)
     c32 = ConvX(features=32, kernels=((1, 3, 3),),
                 strides=((1, 1, 1),), paddings=((0, 1, 1),))
-    assert c32._blocked_block_size(jnp.zeros((1, 2, 4, 248, 16))) == 4
+    assert c32._blocked_block_size(jnp.zeros((1, 2, 4, 248, 16))) == 8
     c64 = ConvX(features=64, kernels=((1, 3, 3),),
                 strides=((1, 1, 1),), paddings=((0, 1, 1),))
-    assert c64._blocked_block_size(jnp.zeros((1, 2, 4, 124, 32))) == 2
+    assert c64._blocked_block_size(jnp.zeros((1, 2, 4, 124, 32))) == 4
     # strided convs are excluded
     strided = ConvX(features=4, kernels=((1, 1, 3),),
                     strides=((1, 1, 2),), paddings=((0, 0, 1),))
