@@ -83,8 +83,16 @@ def make_train_step(model, tx, criterion,
             grad_sum = jax.tree.map(jnp.add, grad_sum, grads)
             parts_sum = jax.tree.map(jnp.add, parts_sum, parts)
             m = metrics_from(out, mb)
-            metrics_acc = jax.tree.map(jnp.add, metrics_acc, m) \
-                if metrics_acc else m
+            if metrics_acc:
+                # per-sample metrics (ndim>=1) are concatenated across
+                # micro-batches; scalar metrics are summed (averaged at
+                # the end).
+                metrics_acc = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b])
+                    if getattr(b, "ndim", 0) >= 1 else a + b,
+                    metrics_acc, m)
+            else:
+                metrics_acc = m
             return (new_bs, grad_sum, loss_sum + loss, parts_sum,
                     metrics_acc), None
 
@@ -107,8 +115,9 @@ def make_train_step(model, tx, criterion,
                                batch_stats=bs, opt_state=opt_state)
         aux = {"loss": loss_sum / accum_steps,
                "parts": jax.tree.map(lambda x: x / accum_steps, parts_sum),
-               "metrics": jax.tree.map(lambda x: x / accum_steps,
-                                       metrics_acc or {})}
+               "metrics": jax.tree.map(
+                   lambda x: x if getattr(x, "ndim", 0) >= 1
+                   else x / accum_steps, metrics_acc or {})}
         return new_state, aux
 
     fn = single_step if accum_steps == 1 else accum_step
