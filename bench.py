@@ -77,7 +77,7 @@ def main():
             # timing: dispatch N steps, fetch only the last loss —
             # execution is in-order, and on remote-tunnel platforms
             # block_until_ready is unreliable while a scalar fetch is not.
-            n_iter = 10
+            n_iter = 20
             t0 = time.time()
             for i in range(n_iter):
                 state, aux = step(state, batch, jax.random.PRNGKey(i))
