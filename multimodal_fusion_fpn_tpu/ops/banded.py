@@ -26,7 +26,6 @@ folded by summing shifted dots.  Works for any rank: the conv is over
 the trailing ``w.ndim - 2`` spatial dims of a channels-last array.
 """
 
-from functools import partial
 from typing import Sequence, Tuple
 
 import jax.numpy as jnp

@@ -73,9 +73,8 @@ def _torch_key_to_flax(key: str):
     rest = parts[1:]
     prefix: Tuple[str, ...]
 
-    if root in ("one_one", "fusion_module") or root == "final1":
+    if root in ("one_one", "fusion_module", "final1"):
         # bare convs at the wrapper level
-        kind, leaf = "conv", rest[-1] if rest else parts[-1]
         return ("params", (root,), "conv", parts[-1])
 
     if root.startswith("resensnet"):
@@ -87,7 +86,7 @@ def _torch_key_to_flax(key: str):
         if mod.startswith("conv"):  # encoder stage Sequential(block0, block1)
             block = f"block{tail[0]}"
             sub, kind, leaf = _convx_subpath(tail[1:])
-            return (None_or(kind, leaf), prefix + (mod, block) + sub,
+            return (_collection(kind, leaf), prefix + (mod, block) + sub,
                     kind, leaf)
         if mod.startswith("zdimRed"):
             level = int(mod[len("zdimRed"):])
@@ -98,17 +97,17 @@ def _torch_key_to_flax(key: str):
             else:
                 name = "red" if seq_idx == "0" else "fully"
             sub, kind, leaf = _convx_subpath(tail[1:])
-            return (None_or(kind, leaf), prefix + (mod, name) + sub,
+            return (_collection(kind, leaf), prefix + (mod, name) + sub,
                     kind, leaf)
         if mod.startswith("up_concat"):
             assert tail[0] == "conv", key
             sub, kind, leaf = _convx_subpath(tail[1:])
-            return (None_or(kind, leaf), prefix + (mod, "conv") + sub,
+            return (_collection(kind, leaf), prefix + (mod, "conv") + sub,
                     kind, leaf)
     raise KeyError(f"Unmapped torch key: {key}")
 
 
-def None_or(kind: str, leaf: str) -> str:
+def _collection(kind: str, leaf: str) -> str:
     if kind == "bn" and leaf in ("running_mean", "running_var"):
         return "batch_stats"
     return "params"
