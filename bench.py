@@ -43,11 +43,10 @@ def main():
 
     # (batch, precision, remat) candidates, best-first.  remat=False is
     # ~20% faster when the no-remat memory fits (see PERF.md).
-    # B=4 fp32 no-remat measures most consistently (bf16 B=6 reached
-    # 6.9 img/s once but varies run-to-run on this chip; see PERF.md).
-    configs = [(4, "fp32", False), (8, "bf16", True), (1, "fp32", True)]
+    configs = [(4, "bf16", False), (4, "fp32", False), (8, "bf16", True),
+               (1, "fp32", True)]
     if "--sweep" in sys.argv:
-        configs = [(4, "fp32", False), (6, "bf16", False), (4, "bf16", False),
+        configs = [(4, "bf16", False), (4, "fp32", False), (6, "bf16", False),
                    (8, "bf16", True), (1, "fp32", True)]
 
     Y, X, Z = 32, 128, 496

@@ -90,11 +90,15 @@ class TpuConv(nn.Module):
         kernel = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
 
+        # In bf16 mode emit bf16 directly from the MXU (fp32 internal
+        # accumulation either way) — avoids a separate convert pass per
+        # conv.  fp32 mode keeps fp32 outputs (parity path).
+        acc_dtype = self.dtype
+
         if blocked:
             # x is (B, Y, X, nb, bs, Ci) — conv stays in blocked form.
             y = banded_conv_blocked(x, kernel,
-                                    preferred_element_type=jnp.float32)
-            y = y.astype(self.dtype)
+                                    preferred_element_type=acc_dtype)
             if bias is not None:
                 y = y + bias.astype(self.dtype)
             return y
@@ -118,13 +122,12 @@ class TpuConv(nn.Module):
                 y = banded_conv(x[:, :, :, 0, :], kernel[..., 0, :, :],
                                 strides[:-1], self.padding[:-1],
                                 block=block,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=acc_dtype)
                 y = y[:, :, :, None, :]
             else:
                 y = banded_conv(x, kernel, strides, self.padding,
                                 block=block,
-                                preferred_element_type=jnp.float32)
-            y = y.astype(self.dtype)
+                                preferred_element_type=acc_dtype)
         else:
             nsp = len(k)
             lhs_spec = "N" + "DHW"[3 - nsp:] + "C"
