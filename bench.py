@@ -76,12 +76,16 @@ def main():
             # timing: dispatch N steps, fetch only the last loss —
             # execution is in-order, and on remote-tunnel platforms
             # block_until_ready is unreliable while a scalar fetch is not.
-            n_iter = 20
-            t0 = time.time()
-            for i in range(n_iter):
-                state, aux = step(state, batch, jax.random.PRNGKey(i))
-            _ = float(aux["loss"])
-            dt = (time.time() - t0) / n_iter
+            # The shared tunnel shows up to 2x run-to-run variance, so
+            # take the fastest of three windows.
+            n_iter = 15
+            dt = float("inf")
+            for _window in range(3):
+                t0 = time.time()
+                for i in range(n_iter):
+                    state, aux = step(state, batch, jax.random.PRNGKey(i))
+                _ = float(aux["loss"])
+                dt = min(dt, (time.time() - t0) / n_iter)
             img_s = B / dt
             print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
                   f"{img_s:.2f} img/s", file=sys.stderr)
