@@ -167,18 +167,19 @@ class ConvX(nn.Module):
         by a usable block size — i.e. the full-volume encoder stages,
         which otherwise materialize 8x-padded (.., Z, C) intermediates.
         """
-        if x.ndim != 5 or self.features > 64:
+        if x.ndim not in (4, 5) or self.features > 64:
             return None
-        z = x.shape[3]
+        nsp = x.ndim - 2  # 3 for volumes (block z), 2 for 2D (block W)
+        z = x.shape[-2]
         for k, s, p in zip(self.kernels, self.strides, self.paddings):
-            if len(k) != 3 or any(kk not in (1, 3) for kk in k):
+            if len(k) != nsp or any(kk not in (1, 3) for kk in k):
                 return None
             if any(ss != 1 for ss in s):
                 return None
             if tuple(p) != tuple(kk // 2 for kk in k):
                 return None
         if self.downsample and self.downsample_strides not in (
-                None, (1, 1, 1)):
+                None, (1,) * nsp):
             return None
         # NOTE: bs ~ 128/C_out would halve the banded FLOP expansion at
         # the 32/64-channel levels, but measured +1.3G HBM (extra patch
@@ -196,8 +197,8 @@ class ConvX(nn.Module):
         bs = self._blocked_block_size(x)
         blocked = bs is not None
         if blocked:
-            b, yd, xd, z, c = x.shape
-            x = x.reshape(b, yd, xd, z // bs, bs, c)
+            z, c = x.shape[-2], x.shape[-1]
+            x = x.reshape(x.shape[:-2] + (z // bs, bs, c))
         out = x
         n = len(self.kernels)
         for i in range(n):
@@ -253,8 +254,8 @@ class ConvX(nn.Module):
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         if blocked:
-            b, yd, xd, nb, bsz, co = out.shape
-            out = out.reshape(b, yd, xd, nb * bsz, co)
+            nb, bsz, co = out.shape[-3], out.shape[-2], out.shape[-1]
+            out = out.reshape(out.shape[:-3] + (nb * bsz, co))
         return out
 
 

@@ -165,41 +165,47 @@ def _w2_blocked(w_tap: jnp.ndarray, block: int) -> jnp.ndarray:
 def banded_conv_blocked(x6: jnp.ndarray, w: jnp.ndarray,
                         preferred_element_type=jnp.float32) -> jnp.ndarray:
     """Stride-1 conv on BLOCKED activations — input and output stay in the
-    z-blocked form, so no (.., Z, C) intermediate is ever materialized
+    blocked form, so no (.., Z, C) intermediate is ever materialized
     (the layout XLA pads 8x for narrow channels).
 
-    x6: (B, Y, X, nb, bs, Ci) with z = nb*bs exactly (no tail padding).
-    w:  (ky, kx, kz, Ci, Co), ky/kx/kz in {1, 3}, SAME padding
-        (ky//2, kx//2, kz//2).  Returns (B, Y, X, nb, bs, Co).
+    x6: (B, S1..Sm, nb, bs, Ci) — the innermost spatial axis is blocked
+        into nb blocks of bs with no tail padding; S1..Sm are the other
+        spatial dims.
+    w:  (k1..km, kz, Ci, Co), every tap in {1, 3}, SAME padding
+        (k//2 per dim).  Returns (B, S1..Sm, nb, bs, Co).
     """
-    b, yd, xd, nb, bs, ci = x6.shape
-    ky, kx, kz, _, co = w.shape
+    n_lead = w.ndim - 3
+    lead_sizes = x6.shape[1:1 + n_lead]
+    nb, bs, ci = x6.shape[-3], x6.shape[-2], x6.shape[-1]
+    k_lead = w.shape[:n_lead]
+    kz, _, co = w.shape[-3], w.shape[-2], w.shape[-1]
 
     if kz == 3:
-        zpad = jnp.zeros((b, yd, xd, 1, 1, ci), x6.dtype)
+        zpad = jnp.zeros(x6.shape[:-3] + (1, 1, ci), x6.dtype)
         prev_tail = jnp.concatenate(
-            [zpad, x6[:, :, :, :-1, -1:, :]], axis=3)
+            [zpad, x6[..., :-1, -1:, :]], axis=-3)
         next_head = jnp.concatenate(
-            [x6[:, :, :, 1:, :1, :], zpad], axis=3)
-        patches = jnp.concatenate([prev_tail, x6, next_head], axis=4)
+            [x6[..., 1:, :1, :], zpad], axis=-3)
+        patches = jnp.concatenate([prev_tail, x6, next_head], axis=-2)
         win = bs + 2
     else:
         patches = x6
         win = bs
-    patches = patches.reshape(b, yd, xd, nb, win * ci)
+    patches = patches.reshape(patches.shape[:-2] + (win * ci,))
 
-    pad_cfg = [(0, 0), (ky // 2, ky // 2), (kx // 2, kx // 2),
-               (0, 0), (0, 0)]
+    pad_cfg = [(0, 0)] + [(k // 2, k // 2) for k in k_lead] \
+        + [(0, 0), (0, 0)]
     pp = jnp.pad(patches, pad_cfg)
 
     out = None
-    for dy in range(ky):
-        for dx in range(kx):
-            sl = lax.slice_in_dim(pp, dy, dy + yd, axis=1)
-            sl = lax.slice_in_dim(sl, dx, dx + xd, axis=2)
-            t = lax.dot_general(
-                sl, _w2_blocked(w[dy, dx], bs),
-                dimension_numbers=(((4,), (0,)), ((), ())),
-                preferred_element_type=preferred_element_type)
-            out = t if out is None else out + t
-    return out.reshape(b, yd, xd, nb, bs, co).astype(preferred_element_type)
+    for tap in (np.ndindex(*k_lead) if n_lead else [()]):
+        sl = pp
+        for d, t in enumerate(tap):
+            sl = lax.slice_in_dim(sl, t, t + lead_sizes[d], axis=1 + d)
+        t_out = lax.dot_general(
+            sl, _w2_blocked(w[tap] if tap else w, bs),
+            dimension_numbers=(((sl.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=preferred_element_type)
+        out = t_out if out is None else out + t_out
+    return out.reshape(out.shape[:-1] + (bs, co)).astype(
+        preferred_element_type)

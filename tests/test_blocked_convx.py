@@ -74,3 +74,23 @@ def test_blocked_block_size_conditions():
     strided = ConvX(features=4, kernels=((1, 1, 3),),
                     strides=((1, 1, 2),), paddings=((0, 0, 1),))
     assert strided._blocked_block_size(x) is None
+
+
+def test_convx_blocked_2d_matches_unblocked(monkeypatch):
+    """2D encoder stages (SLO branch) also run blocked along W."""
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        size=(2, 10, 32, 3)).astype(np.float32))
+    mod = ConvX(features=4,
+                kernels=((1, 3), (1, 3), (3, 1)),
+                strides=((1, 1),) * 3,
+                paddings=((0, 1), (0, 1), (1, 0)),
+                residual=True, downsample=True)
+    assert mod._blocked_block_size(x) == 8
+    _compare(mod, x, monkeypatch)
+
+
+def test_encoder_stage_2d_blocked_train(monkeypatch):
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 10, 16, 4)).astype(np.float32))
+    mod = EncoderStage(features=4, ndim=2, downsample=False)
+    _compare(mod, x, monkeypatch, train=True)
