@@ -19,6 +19,7 @@ reference layout (see :mod:`..models.layouts`).
 
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -162,6 +163,7 @@ class FPNLateFusion(nn.Module):
     n_classes: int = 1
     fusion_modality: str = "slo"
     interpolate: Optional[str] = None
+    output_features: bool = False
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -191,18 +193,26 @@ class FPNLateFusion(nn.Module):
         elif self.interpolate == "2d_max":
             fused_feat = adaptive_max_pool(fused_feat, target, axes=(2, 3, 4))
 
-        cat = jnp.concatenate([oct_feat, fused_feat], axis=1)
+        branch_feats = jnp.concatenate([oct_feat, fused_feat], axis=1)
         # 1x1x1 fusion conv over channels.  NOTE: the reference hard-codes
         # 32 input channels here (fusion_nets.py:172) which is only valid
         # at ini width channels[0]=16; we infer the width instead, which is
         # identical at the shipped configuration.
-        cat = jnp.moveaxis(cat, 1, -1)  # channels-last for the conv
+        cat = jnp.moveaxis(branch_feats, 1, -1)  # channels-last for the conv
         seg = nn.Conv(self.n_classes, kernel_size=(1, 1, 1),
                       kernel_init=conv_kernel_init,
                       bias_init=nn.initializers.zeros,
                       dtype=self.dtype, name="fusion_module")(cat)
         seg = jnp.moveaxis(seg, -1, 1)
-        return {"prediction": self.last_activation(seg)}
+        out = {"prediction": self.last_activation(seg)}
+        if self.output_features:
+            # Pre-fusion branch features, gradient-stopped — the
+            # reference sketches this as torch.cat(...).detach()
+            # (``fusion_nets.py:206-212``, commented out there; opt-in
+            # here) and the eval harness renders it as features.png
+            # (``test_utils.py:215-232``).
+            out["out_features"] = jax.lax.stop_gradient(branch_feats)
+        return out
 
 
 @add_class
@@ -231,4 +241,7 @@ def build_model(config, spec: Optional[ArchSpec] = None,
     if config.model in ("FPNHybridFusion", "FPNHybridFusionRegression",
                         "FPNLateFusion", "FPNLateFusionRegression"):
         kwargs["interpolate"] = interpolate_from_crop(config.crop)
+    if (config.model in ("FPNLateFusion", "FPNLateFusionRegression")
+            and getattr(config, "output_features", False)):
+        kwargs["output_features"] = True
     return cls(**kwargs)

@@ -50,18 +50,23 @@ def make_mesh(spec: Optional[str] = None, devices=None) -> Mesh:
     return Mesh(dev_array, names)
 
 
-def batch_sharding(mesh: Mesh, key: str) -> NamedSharding:
+def batch_sharding(mesh: Mesh, key: str, stacked: bool = False
+                   ) -> NamedSharding:
     """Sharding for a batch array in the reference layout.
 
     Batch dim on 'data'.  When the mesh has a 'space' axis, the en-face
     width axis (last dim of every reference-layout array) is sharded on
     it — 5D activations flow through convs with XLA-managed halos.
+    ``stacked``: array carries a leading (accum_steps, ...) micro-batch
+    axis (gradient accumulation); that axis stays unsharded.
     """
-    has_space = "space" in mesh.axis_names
     spec = [None, None, None, None, None]
-    spec[0] = "data"
-    if has_space:
+    if "data" in mesh.axis_names:
+        spec[0] = "data"
+    if "space" in mesh.axis_names:
         spec[4] = "space"
+    if stacked:
+        spec = [None] + spec
     return NamedSharding(mesh, P(*spec))
 
 
@@ -69,13 +74,15 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Dict, mesh: Mesh) -> Dict:
+def shard_batch(batch: Dict, mesh: Mesh, stacked: bool = False) -> Dict:
     """Place a host batch dict on the mesh (model keys batch-sharded,
-    aux arrays replicated)."""
+    aux arrays replicated).  ``stacked`` marks a leading micro-batch axis
+    (arrays are 6D instead of 5D)."""
+    model_ndim = 6 if stacked else 5
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "ndim") and v.ndim == 5:
-            out[k] = jax.device_put(v, batch_sharding(mesh, k))
+        if hasattr(v, "ndim") and v.ndim == model_ndim:
+            out[k] = jax.device_put(v, batch_sharding(mesh, k, stacked))
         elif hasattr(v, "ndim"):
             out[k] = jax.device_put(v, replicate(mesh))
         else:

@@ -31,11 +31,19 @@ from multimodal_fusion_fpn_tpu.train.state import TrainState
 
 def make_dp_train_step(model, tx, criterion, mesh: Mesh,
                        bn_sync: bool = True,
-                       compute_train_metrics: bool = True) -> Callable:
+                       compute_train_metrics: bool = True,
+                       accum_steps: int = 1) -> Callable:
+    """DP train step; composes with gradient accumulation like the
+    reference's ``strategy='dp'`` × ``accumulate_grad_batches``
+    (``/root/reference/train.py:161,166``).  With ``accum_steps > 1``
+    batch arrays carry a leading ``(accum_steps, batch, ...)`` shape and
+    the batch dim is sharded over the mesh's 'data' axis.
+    """
     if bn_sync:
         from multimodal_fusion_fpn_tpu.train.step import make_train_step
         return make_train_step(model, tx, criterion,
-                               compute_train_metrics=compute_train_metrics)
+                               compute_train_metrics=compute_train_metrics,
+                               accum_steps=accum_steps)
 
     data_axis = "data"
 
@@ -49,31 +57,56 @@ def make_dp_train_step(model, tx, criterion, mesh: Mesh,
 
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def per_shard(params, batch_stats, opt_state, step, batch, rng):
-        # params replicated; batch is the LOCAL shard.
-        (loss, (parts, out, new_bs)), grads = grad_fn(
-            params, batch_stats, batch, rng)
-        # DP gradient reduction (mean over shards).
-        grads = jax.lax.pmean(grads, data_axis)
-        loss = jax.lax.pmean(loss, data_axis)
-        parts = jax.lax.pmean(parts, data_axis)
+    def micro_metrics(out, batch):
+        m = {}
+        if compute_train_metrics and "mask" in batch:
+            # per-sample Dice (all_gathered later), scalar BCE (pmeaned).
+            m["Dice"] = dice_per_sample(out["prediction"], batch["mask"])
+            m["BCE"] = bce_scalar(out["prediction"], batch["mask"])
+        return m
+
+    def per_shard(params, batch_stats, opt_state, step, batches, rngs):
+        # params replicated; batches is the LOCAL shard, with a leading
+        # (accum_steps, ...) axis when accumulating.
+        bs = batch_stats
+        grad_sum = loss_sum = parts_sum = None
+        dice_parts, bce_sum = [], 0.0
+        for i in range(accum_steps):
+            mb = (jax.tree.map(lambda x: x[i], batches)
+                  if accum_steps > 1 else batches)
+            rng = rngs[i] if accum_steps > 1 else rngs
+            (loss, (parts, out, bs)), grads = grad_fn(params, bs, mb, rng)
+            grad_sum = (grads if grad_sum is None
+                        else jax.tree.map(jnp.add, grad_sum, grads))
+            loss_sum = loss if loss_sum is None else loss_sum + loss
+            parts_sum = (parts if parts_sum is None
+                         else jax.tree.map(jnp.add, parts_sum, parts))
+            m = micro_metrics(out, mb)
+            if m:
+                dice_parts.append(m["Dice"])
+                bce_sum = bce_sum + m["BCE"]
+        # DP gradient reduction (mean over shards and micro-batches).
+        grads = jax.lax.pmean(
+            jax.tree.map(lambda g: g / accum_steps, grad_sum), data_axis)
+        loss = jax.lax.pmean(loss_sum / accum_steps, data_axis)
+        parts = jax.lax.pmean(
+            jax.tree.map(lambda p: p / accum_steps, parts_sum), data_axis)
         # Per-replica normalization happened above; store the mean of the
         # per-shard running statistics.
-        new_bs = jax.lax.pmean(new_bs, data_axis)
+        new_bs = jax.lax.pmean(bs, data_axis)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
         metrics = {}
-        if compute_train_metrics and "mask" in batch:
-            dice = dice_per_sample(out["prediction"], batch["mask"])
+        if dice_parts:
             metrics["Dice"] = jax.lax.all_gather(
-                dice, data_axis, tiled=True)
-            metrics["BCE"] = jax.lax.pmean(
-                bce_scalar(out["prediction"], batch["mask"]), data_axis)
+                jnp.concatenate(dice_parts), data_axis, tiled=True)
+            metrics["BCE"] = jax.lax.pmean(bce_sum / accum_steps, data_axis)
         aux = {"loss": loss, "parts": parts, "metrics": metrics}
         return params, new_bs, opt_state, step + 1, aux
 
     replicated = P()
-    batch_spec = P(data_axis)
+    # batch dim on 'data'; with accumulation it is the second axis.
+    batch_spec = P(None, data_axis) if accum_steps > 1 else P(data_axis)
 
     sharded = shard_map(
         per_shard, mesh=mesh,
@@ -85,9 +118,11 @@ def make_dp_train_step(model, tx, criterion, mesh: Mesh,
 
     @jax.jit
     def step_fn(state: TrainState, batch, rng):
+        rngs = (jax.random.split(rng, accum_steps)
+                if accum_steps > 1 else rng)
         params, bs, opt_state, step, aux = sharded(
             state.params, state.batch_stats, state.opt_state,
-            jnp.asarray(state.step), batch, rng)
+            jnp.asarray(state.step), batch, rngs)
         return TrainState(step=step, params=params, batch_stats=bs,
                           opt_state=opt_state), aux
 

@@ -117,6 +117,25 @@ _BN_LEAF = {"weight": "scale", "bias": "bias",
             "running_mean": "mean", "running_var": "var"}
 
 
+# Reference parameters that exist in checkpoints but are never used by
+# the forward pass: FPNLateFusion builds the 3D branch with a final1
+# conv and only afterwards sets use_1x1=False (fusion_nets.py:168-171),
+# so its checkpoints carry orphan resensnet3d.final1.{weight,bias}.
+_KNOWN_UNUSED_PREFIXES = (("resensnet3d", "final1"),)
+
+
+def _prune_known_unused(tree: Dict, template_paths) -> None:
+    """Drop mapped entries under _KNOWN_UNUSED_PREFIXES that the
+    template does not declare (in-place)."""
+    for prefix in _KNOWN_UNUSED_PREFIXES:
+        if any(p[:len(prefix)] == prefix for p in template_paths):
+            continue  # the template DOES use it — keep
+        node = tree
+        for key in prefix[:-1]:
+            node = node.get(key, {})
+        node.pop(prefix[-1], None)
+
+
 def map_state_dict(state_dict: Dict[str, "np.ndarray"],
                    params_template, batch_stats_template,
                    strict: bool = True):
@@ -154,6 +173,7 @@ def map_state_dict(state_dict: Dict[str, "np.ndarray"],
         t_paths = {tuple(str(p.key) for p in kp): leaf.shape
                    for kp, leaf in
                    jax.tree_util.tree_flatten_with_path(template)[0]}
+        _prune_known_unused(tree, t_paths)
         g_paths = {tuple(str(p.key) for p in kp): leaf.shape
                    for kp, leaf in
                    jax.tree_util.tree_flatten_with_path(tree)[0]}

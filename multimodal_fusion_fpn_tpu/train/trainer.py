@@ -56,14 +56,12 @@ class Trainer:
         self.save_debug_images = save_debug_images
 
         self.mesh = mesh
-        if mesh is not None and self.vbs == 1:
-            from multimodal_fusion_fpn_tpu.parallel.step import \
-                make_dp_train_step
-            self.train_step = make_dp_train_step(model, tx, criterion,
-                                                 mesh, bn_sync=bn_sync)
-        else:
-            self.train_step = make_train_step(model, tx, criterion,
-                                              accum_steps=self.vbs)
+        self.bn_sync = bn_sync
+        self.train_step = self._make_step(self.vbs)
+        # Epoch-tail steps (accum_steps < vbs) compiled lazily, cached by
+        # tail length — the reference's Lightning loop still steps on a
+        # partial accumulation window at epoch end.
+        self._tail_steps = {self.vbs: self.train_step}
         self.eval_step = make_eval_step(model)
         self.checkpointer = TopKCheckpointer(
             model_path, monitor=monitor, mode=monitor_mode,
@@ -77,17 +75,58 @@ class Trainer:
             os.makedirs(join(model_path, "images"), exist_ok=True)
 
     # ------------------------------------------------------------------
+    def _make_step(self, accum_steps: int):
+        if self.mesh is not None:
+            from multimodal_fusion_fpn_tpu.parallel.step import \
+                make_dp_train_step
+            return make_dp_train_step(self.model, self.tx, self.criterion,
+                                      self.mesh, bn_sync=self.bn_sync,
+                                      accum_steps=accum_steps)
+        return make_train_step(self.model, self.tx, self.criterion,
+                               accum_steps=accum_steps)
+
+    def _tail_step(self, n: int):
+        if n not in self._tail_steps:
+            self._tail_steps[n] = self._make_step(n)
+        return self._tail_steps[n]
+
     def _stack_micro_batches(self, batches):
-        return jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *batches)
+        if self.mesh is not None:
+            from multimodal_fusion_fpn_tpu.parallel.mesh import shard_batch
+            stacked = shard_batch(stacked, self.mesh, stacked=True)
+        return stacked
+
+    def _run_step(self, state, stacked_or_batch, epoch, step_in_epoch,
+                  rng, accum_len):
+        step_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, epoch), step_in_epoch)
+        step = (self.train_step if accum_len == self.vbs
+                else self._tail_step(accum_len))
+        return step(state, stacked_or_batch, step_rng)
 
     def _train_epoch(self, state: TrainState, loader, epoch: int):
         loader.set_epoch(epoch)
         rng = jax.random.PRNGKey(self.seed)
         pending = []
         step_in_epoch = 0
+
+        def flush(state, micro_batches):
+            n = len(micro_batches)
+            if n == 1:
+                payload = micro_batches[0]
+                if self.mesh is not None:
+                    from multimodal_fusion_fpn_tpu.parallel.mesh import \
+                        shard_batch
+                    payload = shard_batch(payload, self.mesh)
+            else:
+                payload = self._stack_micro_batches(micro_batches)
+            return self._run_step(state, payload, epoch, step_in_epoch,
+                                  rng, n)
+
         for batch in loader:
             mb = model_batch(batch)
-            if self.mesh is not None:
+            if self.mesh is not None and self.vbs == 1:
                 from multimodal_fusion_fpn_tpu.parallel.mesh import \
                     shard_batch
                 mb = shard_batch(mb, self.mesh)
@@ -95,18 +134,13 @@ class Trainer:
                 pending.append((mb, batch))
                 if len(pending) < self.vbs:
                     continue
-                stacked = self._stack_micro_batches(
-                    [p[0] for p in pending])
                 display_batch = pending[-1][1]
+                state, aux = flush(state, [p[0] for p in pending])
                 pending = []
-                step_rng = jax.random.fold_in(
-                    jax.random.fold_in(rng, epoch), step_in_epoch)
-                state, aux = self.train_step(state, stacked, step_rng)
             else:
                 display_batch = batch
-                step_rng = jax.random.fold_in(
-                    jax.random.fold_in(rng, epoch), step_in_epoch)
-                state, aux = self.train_step(state, mb, step_rng)
+                state, aux = self._run_step(state, mb, epoch,
+                                            step_in_epoch, rng, 1)
             step_in_epoch += 1
 
             for k, metric in self.metrics_train.items():
@@ -123,6 +157,15 @@ class Trainer:
                     debug_batch(dbg, join(self.model_path, "images"))
                 except Exception as exc:  # observability must not kill runs
                     print("debug_batch failed:", exc)
+
+        if pending:
+            # Partial accumulation window at epoch end: still step, like
+            # the reference's Lightning accumulate_grad_batches.
+            state, aux = flush(state, [p[0] for p in pending])
+            pending = []
+            for k, metric in self.metrics_train.items():
+                if k in aux["metrics"]:
+                    metric.extend_values(aux["metrics"][k])
         return state
 
     def _val_epoch(self, state: TrainState, loader) -> Dict[str, float]:
@@ -158,7 +201,15 @@ class Trainer:
                     self.curves.append(f"{k} (val)", v)
                 self.curves.save()
 
-                monitor_value = val_results.get(self.monitor, np.nan)
+                # Metametrics re-expose derived values under their own
+                # names — in the reference this is the only path that
+                # publishes the checkpoint monitor ('Dice') at all
+                # (``pl_model_wrapper.py:320-322``).  Fall back to the raw
+                # val results when no metametric provides the monitor.
+                meta_results = {str(k): mm.get(val_results)
+                                for k, mm in self.metametrics.items()}
+                monitor_value = meta_results.get(
+                    self.monitor, val_results.get(self.monitor, np.nan))
                 print(f"[epoch {epoch}] train={train_results} "
                       f"val={val_results}")
 

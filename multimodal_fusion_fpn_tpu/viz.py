@@ -69,6 +69,8 @@ class CurvePlotter:
         self.curves.setdefault(key, []).append(float(value))
 
     def save(self):
+        if not self.metric_figures:
+            return
         import matplotlib
         matplotlib.use("Agg")
         from matplotlib import pyplot as plt

@@ -51,6 +51,11 @@ def extend_parser(parser):
     parser.add_argument("--dont-save", action="store_true")
     parser.add_argument("--eval-mask-variant", type=str, default=None)
     parser.add_argument("--repetition", type=int, default=-1)
+    parser.add_argument(
+        "--output-features", action="store_true",
+        help="Emit pre-fusion branch features from the late-fusion models "
+             "(saved as features.png per image; the reference sketches "
+             "this path in fusion_nets.py:206-212 / test_utils.py:215).")
     return parser
 
 
