@@ -1,25 +1,51 @@
-"""HRF GA-segmentation dataset.
+"""HRF GA-segmentation dataset (OCT volume + SLO/FAF en-face).
 
-Behavioral parity with
-``/root/reference/common/dataloader_hrf_spec_aligned_seg.py``: loads
-``bscan_flat.<id>.npy`` volumes, ``spacing.<id>.npy``, the FAF- or
-OCT-derived mask PNG (÷256 then threshold ≥0.5), and the SLO
-(÷256) or FAF (inverted ``1-faf`` then ÷256) complementary modality.
-When ``crop == 'oct'`` the pre-resized ``preprocessed_images/bscan_size.``
-variants of the 2D images are used.
+Disk-layout parity with
+``/root/reference/common/dataloader_hrf_spec_aligned_seg.py:13-112``,
+expressed as a modality-source table (see :mod:`.sources`):
 
-Array layouts: ``image`` (1, D, H, W); ``mask``/``slo``/``faf``
-(1, H, 1, W).
+  * ``bscan_flat.<id>.npy`` OCT volume -> ``image`` (1, D, H, W);
+  * ``spacing.<id>.npy`` when ``get_spacing``;
+  * mask PNG /256 then >=0.5 — FAF-derived
+    (``preprocessed_images/bscan_size.mask_faf.*``) or OCT-derived
+    (``mask_oct.*``);
+  * complementary modality: SLO (/256) or FAF (inverted then /256),
+    each (1, H, 1, W), from the ``preprocessed_images/bscan_size.``
+    pre-resized variants when ``crop == 'oct'``.
 """
 
 import json
-import os
-from typing import Optional, Union
+from typing import Dict, Optional, Union
 
-import numpy as np
+from multimodal_fusion_fpn_tpu.data.abstract import (AbstractDataset,
+                                                     hrf_visit_row)
+from multimodal_fusion_fpn_tpu.data.sources import NpySource, PngSource
 
-from multimodal_fusion_fpn_tpu.data.abstract import AbstractDataset
-from multimodal_fusion_fpn_tpu.data.imageio_utils import imread
+_MASKS = {
+    "faf": PngSource("preprocessed_images/bscan_size.mask_faf.{id}.png",
+                     binarize="ge"),
+    "oct": PngSource("mask_oct.{id}.png", binarize="ge"),
+}
+
+
+def _hrf_plan(mask_variant: str, fusion_modality: Optional[str],
+              crop: str, get_spacing: bool) -> Dict:
+    if mask_variant not in _MASKS:
+        raise ValueError(f"Unknown mask variant: {mask_variant}")
+    plan = {"image": NpySource("bscan_flat.{id}.npy")}
+    if get_spacing:
+        plan["spacing"] = NpySource("spacing.{id}.npy", layout="raw")
+    plan["mask"] = _MASKS[mask_variant]
+    # Pre-resized 2D images when training on raw-OCT-sized crops
+    # (reference :66-69).
+    prefix = "preprocessed_images/bscan_size." if crop == "oct" else ""
+    if fusion_modality == "slo":
+        plan["slo"] = PngSource(prefix + "slo.{id}.png")
+    elif fusion_modality == "faf":
+        plan["faf"] = PngSource(prefix + "faf.{id}.png", invert=True)
+    else:
+        raise ValueError(f"Unknown fusion modality: {fusion_modality}")
+    return plan
 
 
 class HRF_SPEC_Dataset(AbstractDataset):
@@ -30,70 +56,22 @@ class HRF_SPEC_Dataset(AbstractDataset):
                  crop: str = "none",
                  fusion_modality: Optional[str] = "slo",
                  debug: bool = False):
-        super().__init__()
         self.path = path
         self.multiplier = multiplier
         self.patches_from_single_image = patches_from_single_image
         self.transforms = transforms
-        self.mask_variant = mask_variant
-        self.get_spacing = get_spacing
-        self.patients = patients
-        self.visits_fn = visits_fn
-        self.crop = crop
-        self.fusion_modality = fusion_modality
         self.debug = debug
-        assert self.patients is not None
-        assert self.visits_fn is not None
-
-        with open(self.visits_fn, "r") as fp:
+        assert visits_fn is not None
+        with open(visits_fn) as fp:
             self.visits = json.load(fp)
+        self._plan = _hrf_plan(mask_variant, fusion_modality, crop,
+                               get_spacing)
+        self._finish_init(patients)
+        print(f"HRF dataset: {self.real_length} scans")
 
-        self.dataset = self._make_abstract_dataset()
-        self.real_length = len(self.dataset)
-        print("scans:", str(self.real_length))
-        self.patches_from_current_image = self.patches_from_single_image
+    def visit_row(self, patient_id: str, visit: dict) -> Dict:
+        return hrf_visit_row(self.path, patient_id, visit)
 
-    def _load(self, index):
-        self.record = self.dataset[index].copy()
-        fsid = self.record["FileSetId"]
-
-        image = np.load(os.path.join(self.record["path"],
-                                     "bscan_flat." + fsid + ".npy"))
-        # Dimensions: front (B-scans), top (depth), right (width).
-        self.record["image"] = image[None]
-
-        if self.get_spacing:
-            self.record["spacing"] = np.load(
-                os.path.join(self.record["path"],
-                             "spacing." + fsid + ".npy"))
-
-        prefix = "preprocessed_images/bscan_size." \
-            if self.crop in ["oct"] else ""
-
-        if self.mask_variant == "faf":
-            mask = imread(os.path.join(
-                self.record["path"],
-                "preprocessed_images/bscan_size.mask_faf." + fsid + ".png"))
-            mask = mask / 256
-        elif self.mask_variant == "oct":
-            mask = imread(os.path.join(self.record["path"],
-                                       "mask_oct." + fsid + ".png"))
-            mask = mask / 256
-        else:
-            raise ValueError("Unknown mask variant")
-        mask = np.where(mask >= 0.5, 1.0, 0.0)
-        self.record["mask"] = mask[None, :, None, :]
-
-        if self.fusion_modality == "slo":
-            slo = imread(os.path.join(self.record["path"],
-                                      prefix + "slo." + fsid + ".png"))
-            slo = slo / 256
-            self.record["slo"] = slo[None, :, None, :]
-        elif self.fusion_modality == "faf":
-            faf = imread(os.path.join(self.record["path"],
-                                      prefix + "faf." + fsid + ".png"))
-            faf = 1 - faf
-            faf = faf / 256
-            self.record["faf"] = faf[None, :, None, :]
-        else:
-            raise ValueError("Unknown fusion modality")
+    @property
+    def plan(self) -> Dict:
+        return self._plan

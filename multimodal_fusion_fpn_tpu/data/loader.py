@@ -10,7 +10,10 @@ step N (double buffering happens in the Trainer).
 Determinism: example ``i`` of epoch ``e`` uses
 ``np.random.Generator(seed, e, i)`` regardless of thread scheduling —
 stronger reproducibility than the reference's per-worker seeding
-(``train.py:30-34``).
+(``train.py:30-34``).  Record loading is stateless
+(``dataset.load_record``); the reference's serve-N-patches-per-loaded-
+image behavior is reproduced by block-mapping positions to load indices
+plus a per-thread record memo (see ``__iter__`` / ``_cached_record``).
 """
 
 import threading
@@ -65,21 +68,24 @@ class DataLoader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def _worker_dataset(self):
-        # Thread-local shallow copy: each worker thread gets its own
-        # record slot so dataset._load is race-free.
-        ds = getattr(self._local, "dataset", None)
-        if ds is None:
-            import copy
-            ds = copy.copy(self.dataset)
-            self._local.dataset = ds
-        return ds
-
     def _fetch(self, position: int, index: int):
         rng = np.random.default_rng([self.seed, self.epoch, position]) \
             if self.transform_rng else None
-        ds = self._worker_dataset()
-        return ds.get_example(int(index), rng)
+        record = self._cached_record(int(index))
+        return self.dataset.get_example(int(index), rng, record=record)
+
+    def _cached_record(self, index: int):
+        """Per-thread memo of the last loaded raw record.  With
+        ``patches_from_single_image > 1`` consecutive positions map to
+        the same index (see ``__iter__``), so the memo turns N patches
+        into one disk load; a miss just reloads (records are
+        deterministic, so caching is purely an IO optimization)."""
+        memo = getattr(self._local, "memo", None)
+        if memo is not None and memo[0] == index:
+            return memo[1]
+        record = self.dataset.load_record(index)
+        self._local.memo = (index, record)
+        return record
 
     def __iter__(self):
         n = len(self.dataset)
@@ -88,6 +94,14 @@ class DataLoader:
                 [self.seed, self.epoch]).permutation(n)
         else:
             order = np.arange(n)
+
+        # Reference patch-reuse semantics
+        # (abstract_dataloader.py:94-101): each loaded image serves
+        # ``patches_from_single_image`` consecutive examples.  Map each
+        # position's load-index to the first position of its block.
+        k = int(getattr(self.dataset, "patches_from_single_image", 1) or 1)
+        if k > 1:
+            order = order[(np.arange(n) // k) * k]
 
         n_batches = len(self)
         if self.num_workers <= 0:

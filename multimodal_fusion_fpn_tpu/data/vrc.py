@@ -1,22 +1,55 @@
-"""VRC vessel-segmentation dataset.
+"""VRC vessel-segmentation dataset (OCT volume + SLO en-face).
 
-Behavioral parity with ``/root/reference/common/dataloader_vrc_vessel.py``:
-``oct_variant`` 'flat' (optionally the low-res ``preprocessed_bscan='lr2'``
-files) or 'crop' file layouts; mask variants ``sq_proj_dil`` →
-``bscan_size.vs_proj.dil.*.png`` else ``vs.vmirror.*.png``; SLO with the
-``bscan_size.`` prefix when ``crop == 'oct'``.
+Disk-layout parity with
+``/root/reference/common/dataloader_vrc_vessel.py:15-172``, expressed as
+a modality-source table (see :mod:`.sources`):
+
+  * 'flat' variant: ``bscan_flat.<id>.npy`` (or the low-res
+    ``preprocessed_images/bscan_flat.lr2.*`` when
+    ``preprocessed_bscan='lr2'``); mask from
+    ``preprocessed_images/bscan_size.vs_proj.dil.*.png`` when
+    ``mask_variant='sq_proj_dil'`` else
+    ``preprocessed_images/vs.vmirror.*.png`` — note the flat-variant
+    mask stays BOOLEAN (>0.5), a reference quirk;
+  * 'crop' variant: everything under ``cropped/`` with the float
+    >=0.5 mask convention; spacing still in the visit directory.
 """
 
 import json
-import os
-from os.path import join
-from pathlib import Path
-from typing import Optional
-
-import numpy as np
+from typing import Dict, Optional
 
 from multimodal_fusion_fpn_tpu.data.abstract import AbstractDataset
-from multimodal_fusion_fpn_tpu.data.imageio_utils import imread
+from multimodal_fusion_fpn_tpu.data.sources import NpySource, PngSource
+
+
+def _vrc_plan(oct_variant: str, preprocessed_bscan: Optional[str],
+              mask_variant: Optional[str], crop: str,
+              get_spacing: bool) -> Dict:
+    if oct_variant == "flat":
+        bscan = ("bscan_flat.{id}.npy" if preprocessed_bscan is None else
+                 f"preprocessed_images/bscan_flat.{preprocessed_bscan}"
+                 ".{id}.npy")
+        mask = ("preprocessed_images/bscan_size.vs_proj.dil.{id}.png"
+                if mask_variant == "sq_proj_dil"
+                else "preprocessed_images/vs.vmirror.{id}.png")
+        slo_prefix = ("preprocessed_images/bscan_size."
+                      if crop == "oct" else "")
+        plan = {
+            "image": NpySource(bscan),
+            "mask": PngSource(mask, binarize="gt"),
+            "slo": PngSource(slo_prefix + "slo.{id}.png"),
+        }
+    elif oct_variant == "crop":
+        plan = {
+            "image": NpySource("cropped/bscan_crop.{id}.npy"),
+            "mask": PngSource("cropped/vs_crop.{id}.png", binarize="ge"),
+            "slo": PngSource("cropped/slo_crop.{id}.png"),
+        }
+    else:
+        raise ValueError(f"Unknown OCT variant: {oct_variant}")
+    if get_spacing:
+        plan["spacing"] = NpySource("spacing.{id}.npy", layout="raw")
+    return plan
 
 
 class VRC_Dataset(AbstractDataset):
@@ -28,93 +61,36 @@ class VRC_Dataset(AbstractDataset):
                  oct_variant: str = "flat",
                  crop: str = "none",
                  debug: bool = False):
-        super().__init__()
         self.path = path
         self.multiplier = multiplier
         self.patches_from_single_image = patches_from_single_image
         self.transforms = transforms
-        self.mask_variant = mask_variant
-        self.get_spacing = get_spacing
-        self.patients = patients
-        self.visits_fn = visits_fn
-        self.preprocessed_bscan = preprocessed_bscan
-        self.oct_variant = oct_variant
-        self.crop = crop
         self.debug = debug
-
-        assert self.patients is not None
-        assert self.visits_fn is not None
-
-        with open(self.visits_fn, "r") as fp:
+        assert visits_fn is not None
+        with open(visits_fn) as fp:
             self.visits = json.load(fp)
+        self._plan = _vrc_plan(oct_variant, preprocessed_bscan,
+                               mask_variant, crop, get_spacing)
+        self._finish_init(patients)
+        print(f"VRC dataset: {self.real_length} scans")
 
-        self.dataset = self._make_abstract_dataset()
-        self.real_length = len(self.dataset)
-        print("scans:", str(self.real_length))
-        self.patches_from_current_image = self.patches_from_single_image
+    def visit_row(self, patient_id: str, visit: dict) -> Dict:
+        import os
+        return {
+            "path": os.path.join(self.path, patient_id),
+            "FileSetId": visit["FileSetId"],
+            "VRCPatId": patient_id,
+        }
 
-    def _make_dataset_ids(self, ids: list) -> list:
-        raise NotImplementedError
+    def expand_visits(self, patients):
+        # VRC splits are plain patient lists (the id-selection form is an
+        # HRF feature; reference dataloader_vrc_vessel.py only implements
+        # the list path).
+        if isinstance(patients, dict):
+            raise NotImplementedError(
+                "VRC selects by patient list, not FileSetIds")
+        return super().expand_visits(patients)
 
-    def _make_dataset(self, patients) -> list:
-        dataset = []
-        for k in patients:
-            for visit in self.visits[k]:
-                dataset.append({
-                    "path": join(self.path, k),
-                    "FileSetId": visit["FileSetId"],
-                    "VRCPatId": k,
-                })
-        return dataset
-
-    def _load(self, index):
-        self.record = self.dataset[index].copy()
-        fsid = self.record["FileSetId"]
-
-        if self.oct_variant == "flat":
-            bscan_fn = "bscan_flat." + fsid + ".npy"
-            if self.preprocessed_bscan is not None:
-                bscan_fn = ("preprocessed_images/bscan_flat."
-                            + self.preprocessed_bscan + "." + fsid + ".npy")
-            image = np.load(os.path.join(self.record["path"], bscan_fn))
-            if self.get_spacing:
-                self.record["spacing"] = np.load(
-                    os.path.join(self.record["path"],
-                                 "spacing." + fsid + ".npy"))
-
-            if self.mask_variant == "sq_proj_dil":
-                mask_fn = "bscan_size.vs_proj.dil." + fsid + ".png"
-            else:
-                mask_fn = "vs.vmirror." + fsid + ".png"
-            mask = imread(os.path.join(self.record["path"],
-                                       "preprocessed_images", mask_fn))
-            mask = mask / 256
-            mask = mask > 0.5  # note: boolean mask (flat variant)
-
-            prefix = "preprocessed_images/bscan_size." \
-                if self.crop in ["oct"] else ""
-            slo = imread(os.path.join(self.record["path"],
-                                      prefix + "slo." + fsid + ".png"))
-            slo = slo / 256
-
-            self.record["image"] = image[None]
-            self.record["mask"] = mask[None, :, None, :]
-            self.record["slo"] = slo[None, :, None, :]
-        elif self.oct_variant == "crop":
-            path = Path(self.record["path"], "cropped")
-            image = np.load(join(path, f"bscan_crop.{fsid}.npy"))
-            if self.get_spacing:
-                self.record["spacing"] = np.load(
-                    join(path.parent, f"spacing.{fsid}.npy"))
-            self.record["image"] = image[None]
-
-            mask = imread(join(path, f"vs_crop.{fsid}.png"))
-            mask = mask / 256
-            mask = np.where(mask >= 0.5, 1.0, 0.0)
-            self.record["mask"] = mask[None, :, None, :]
-
-            slo = imread(join(path, f"slo_crop.{fsid}.png"))
-            slo = slo / 256
-            self.record["slo"] = slo[None, :, None, :]
-        else:
-            raise ValueError("Unknown OCT variant: " + self.oct_variant)
+    @property
+    def plan(self) -> Dict:
+        return self._plan

@@ -92,3 +92,27 @@ def test_val_transforms_deterministic(synthetic_hrf):
     # val sizes are multiples of 16 on dims 1,3
     assert a["image"].shape[1] % 16 == 0
     assert a["image"].shape[3] % 16 == 0
+
+
+def test_patches_from_single_image_block_reuse(synthetic_hrf):
+    """patches_from_single_image=2: each loaded image serves 2
+    consecutive examples (reference abstract_dataloader.py:94-101 —
+    calls 2..N reuse the image loaded at call 1, regardless of their own
+    shuffled index)."""
+    with open(synthetic_hrf["split"]) as f:
+        split = json.load(f)
+    ds = HRF_SPEC_Dataset(path=synthetic_hrf["oct"],
+                          patients=split["train"], multiplier=2,
+                          patches_from_single_image=2,
+                          transforms=None,
+                          visits_fn=synthetic_hrf["visits"])
+    loader = DataLoader(ds, batch_size=1, shuffle=True, num_workers=2,
+                        seed=7)
+    loader.set_epoch(0)
+    ids = [batch["FileSetId"][0] for batch in loader]
+    assert len(ids) == len(ds)
+    # consecutive pairs come from the same loaded image
+    for a, b in zip(ids[0::2], ids[1::2]):
+        assert a == b
+    # ...but the epoch still visits more than one distinct image
+    assert len(set(ids)) > 1
