@@ -36,3 +36,61 @@ def test_graft_entry_forward():
     out = jax.jit(fn)(variables, batch)
     assert out.shape[0] == batch["image"].shape[0]
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_space_axis_numeric_parity(tiny_spec):
+    """Width ('space') sharding must be numerically transparent: the
+    same train step on a data=2,space=2 mesh (and space=2 alone) matches
+    the single-device step on identical inputs — proving the banded-conv
+    padding composes with GSPMD halo exchange (ops/banded.py:72-102)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from multimodal_fusion_fpn_tpu.config import make_config
+    from multimodal_fusion_fpn_tpu.losses import Mix, bce_loss, dice_loss_joint
+    from multimodal_fusion_fpn_tpu.models.zoo import build_model
+    from multimodal_fusion_fpn_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_state)
+    from multimodal_fusion_fpn_tpu.train.optim import sgd
+    from multimodal_fusion_fpn_tpu.train.state import create_train_state
+    from multimodal_fusion_fpn_tpu.train.step import make_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    rng = np.random.default_rng(0)
+    B = 2
+    batch = {
+        "image": rng.normal(size=(B, 1, 8, 64, 32)).astype(np.float32),
+        "slo": rng.normal(size=(B, 1, 80, 1, 32)).astype(np.float32),
+        "mask": (rng.random((B, 1, 8, 1, 32)) > 0.7).astype(np.float32),
+    }
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo")
+    model = build_model(cfg, spec=tiny_spec, remat=False)
+    tx = sgd(0.1)
+    criterion = Mix({"d": dice_loss_joint(), "b": bce_loss()})
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state0 = jax.tree.map(np.asarray, state0)
+    step = make_train_step(model, tx, criterion, donate=False)
+
+    def run(mesh):
+        if mesh is None:
+            s, aux = step(jax.tree.map(jnp.asarray, state0), batch,
+                          jax.random.PRNGKey(1))
+        else:
+            s, aux = step(shard_state(state0, mesh),
+                          shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        return (jax.tree.map(np.asarray, s.params), float(aux["loss"]),
+                np.asarray(aux["metrics"]["Dice"]))
+
+    ref_params, ref_loss, ref_dice = run(None)
+    for spec_str, n in (("data=2,space=2", 4), ("space=2", 2)):
+        mesh = make_mesh(spec_str, jax.devices()[:n])
+        p, l, d = run(mesh)
+        np.testing.assert_allclose(l, ref_loss, rtol=1e-5, err_msg=spec_str)
+        np.testing.assert_allclose(d, ref_dice, rtol=1e-4, atol=1e-5,
+                                   err_msg=spec_str)
+        for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(ref_params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5,
+                err_msg=spec_str)
