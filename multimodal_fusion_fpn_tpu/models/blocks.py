@@ -181,10 +181,11 @@ class ConvX(nn.Module):
         if self.downsample and self.downsample_strides not in (
                 None, (1,) * nsp):
             return None
-        # NOTE: bs ~ 128/C_out would halve the banded FLOP expansion at
-        # the 32/64-channel levels, but measured +1.3G HBM (extra patch
-        # temps in the backward) pushes the flagship config OOM — kept at
-        # the largest dividing block for now (see PERF.md roadmap).
+        # Largest dividing block: the banded dots are memory-bound, so
+        # traffic (patch volume = (bs+2)/bs of the activation) beats FLOP
+        # expansion.  Measured: bs ~ 128/C_out (2x/1.33x less FLOPs at
+        # C=32/64) is net SLOWER (s3 fwd 23.7 -> 30.0 ms) because the
+        # patch volume grows to 1.5x/2x — see PERF.md round 2.
         for bs in (8, 4, 2):
             if z % bs == 0 and z > bs:
                 return bs

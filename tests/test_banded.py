@@ -78,3 +78,41 @@ def test_banded_conv_grad_matches_lax():
     gxl = jax.grad(loss_lax, argnums=1)(w, x)
     np.testing.assert_allclose(np.asarray(gxb), np.asarray(gxl),
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("kernel", [(1, 3, 3), (3, 1, 1), (1, 3),
+                                    (3, 3, 3), (1, 1, 1)])
+@pytest.mark.parametrize("bs", [8, 4, 2])
+def test_blocked_custom_vjp_matches_autodiff(kernel, bs):
+    """The hand-written VJP of banded_conv_blocked (flipped banded conv
+    for dx, banded contraction + band collapse for dw) must agree with
+    autodiff through the plain implementation."""
+    import jax
+    from multimodal_fusion_fpn_tpu.ops.banded import (
+        _banded_conv_blocked_impl, banded_conv_blocked)
+
+    rng = np.random.default_rng(3)
+    ci, co = 3, 5
+    nsp = len(kernel)
+    lead = (4, 6)[:nsp - 1]
+    nb = 5
+    x6 = jnp.asarray(rng.normal(
+        size=(2,) + lead + (nb, bs, ci)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=kernel + (ci, co)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(
+        size=(2,) + lead + (nb, bs, co)).astype(np.float32))
+
+    def loss_custom(x6, w):
+        return jnp.vdot(banded_conv_blocked(x6, w), cot)
+
+    def loss_plain(x6, w):
+        return jnp.vdot(_banded_conv_blocked_impl(x6, w, jnp.float32), cot)
+
+    np.testing.assert_allclose(loss_custom(x6, w), loss_plain(x6, w),
+                               rtol=1e-4)
+    gx_c, gw_c = jax.grad(loss_custom, argnums=(0, 1))(x6, w)
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x6, w)
+    np.testing.assert_allclose(np.asarray(gx_c), np.asarray(gx_p),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_c), np.asarray(gw_p),
+                               rtol=1e-3, atol=1e-3)
