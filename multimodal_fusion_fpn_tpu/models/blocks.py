@@ -142,6 +142,77 @@ class TpuConv(nn.Module):
         return y
 
 
+import os as _os
+
+_FUSED_MODE = _os.environ.get("MMF_FUSED", "auto")  # "on"|"off"|"auto" (TPU only)
+
+
+def set_fused_stage_mode(mode: str) -> None:
+    """Select the encoder-stage lowering: 'on' runs the fused Pallas
+    chain everywhere (XLA reference impl off-TPU), 'off' the per-op
+    blocked path, 'auto' fuses only when the default backend is TPU."""
+    global _FUSED_MODE
+    assert mode in ("on", "off", "auto"), mode
+    _FUSED_MODE = mode
+
+
+def _fused_active() -> bool:
+    if _FUSED_MODE == "off":
+        return False
+    if _FUSED_MODE == "auto":
+        return jax.default_backend() == "tpu"
+    return True
+
+
+class _ConvKernel(nn.Module):
+    """Parameter shell: declares the same 'kernel' param as TpuConv
+    (same name, shape, init -> identical param tree and RNG folding), so
+    the fused chain and the per-op path share checkpoints."""
+
+    kernel_shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kernel_init, self.kernel_shape,
+                          jnp.float32)
+
+
+class _BNFold(nn.Module):
+    """BatchNorm that RETURNS the folded affine (s, b) instead of
+    applying it: y_norm = y * s + b with s = scale/sqrt(var+eps),
+    b = bias - mean*s.  Parameter/collection layout is identical to
+    ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var, same
+    momentum/epsilon/running-average update), so checkpoints are
+    interchangeable with the per-op path."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, mean, var, train: bool):
+        c = self.features
+        scale = self.param("scale", bn_scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda *_: jnp.zeros((c,), jnp.float32),
+                                None)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda *_: jnp.ones((c,), jnp.float32),
+                               None)
+        if train:
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            use_mean, use_var = mean, var
+        else:
+            use_mean, use_var = ra_mean.value, ra_var.value
+        s = scale * jax.lax.rsqrt(use_var + self.epsilon)
+        return s, bias - use_mean * s
+
+
 class ConvX(nn.Module):
     """Residual conv block.  ``kernels[i]`` applied with BN+ReLU between
     convs and BN (no ReLU) after the last; residual path is identity or a
@@ -191,8 +262,97 @@ class ConvX(nn.Module):
                 return bs
         return None
 
+    def _fused_packed(self, x, X: int, nb: int, bs: int, train: bool,
+                      input_packed: bool):
+        """Fused-chain lowering on the padded thick layout (see
+        ops/pallas/fused_conv.py): each conv is one kernel invocation
+        computing conv(relu(affine(prev_raw))); BatchNorm is folded into
+        the next conv's affine, with stats as one XLA reduction over the
+        raw output.  Same parameter tree as the per-op path.
+
+        When the stage input is NARROW (ci < 8, e.g. the 1-channel OCT
+        volume), the thick packing of the input would pad 8*ci -> 128
+        lanes in HBM (16x for ci=1); the first conv and the 1x1
+        downsample conv then run on the existing banded path from the
+        compact layout and only their RAW outputs are packed.
+        """
+        from multimodal_fusion_fpn_tpu.ops.banded import banded_conv
+        from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+            _nbp, _np_masks, fused_conv, interior_stats, pack)
+        n = len(self.kernels)
+        co = self.features
+        dt = self.dtype
+        nsp = len(self.kernels[0])
+
+        if input_packed:
+            xp = x
+            ci0 = x.shape[-1] // bs
+            narrow = False
+        else:
+            ci0 = x.shape[-1]
+            narrow = ci0 < 8
+            x = x.astype(dt)
+            if narrow and self.residual and not self.downsample:
+                narrow = False  # identity residual needs the packed input
+            xp = None if narrow else pack(x, bs)
+        B, Y = x.shape[0], x.shape[1]
+
+        def conv(inputs, scales, biases, w_shape, name, relu):
+            w = _ConvKernel(w_shape, name=name)()
+            return fused_conv(inputs, scales, biases, w.astype(dt), X,
+                              nb, bs, relu=relu,
+                              preferred_element_type=dt)
+
+        def conv_narrow(w_shape, name):
+            # raw conv from the compact layout, then pack
+            w = _ConvKernel(w_shape, name=name)()
+            k = w_shape[:nsp]
+            y = banded_conv(x, w.astype(dt), (1,) * nsp,
+                            tuple(kk // 2 for kk in k),
+                            preferred_element_type=dt)
+            return pack(y, bs)
+
+        def bn(y_raw, name):
+            mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
+            s, b = _BNFold(co, name=name)(mean, var, train)
+            return (jnp.tile(s, bs).astype(dt),
+                    jnp.tile(b, bs).astype(dt))
+
+        ci = ci0
+        cur, cur_s, cur_b = xp, None, None
+        for i in range(n):
+            w_shape = tuple(self.kernels[i]) + (ci, co)
+            if i == 0 and narrow:
+                y = conv_narrow(w_shape, "conv0")
+            else:
+                y = conv([cur], [cur_s], [cur_b], w_shape, f"conv{i}",
+                         relu=(i > 0))
+            cur_s, cur_b = bn(y, f"bn{i}")
+            cur, ci = y, co
+
+        out = cur * cur_s + cur_b
+        if self.residual:
+            if self.downsample:
+                wd_shape = (1,) * nsp + (ci0, co)
+                if narrow:
+                    yd = conv_narrow(wd_shape, "ds_conv")
+                else:
+                    yd = conv([xp], [None], [None], wd_shape, "ds_conv",
+                              relu=False)
+                sd, bd = bn(yd, "ds_bn")
+                out = out + yd * sd + bd
+            else:
+                out = out + xp
+        out = nn.relu(out)
+        RX = out.shape[2]
+        interior, _, _ = _np_masks(RX, X, nb, _nbp(nb))
+        return out * jnp.asarray(interior[:, None], out.dtype)
+
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, packed_meta=None):
+        if packed_meta is not None:
+            X, nb, bs, input_packed = packed_meta
+            return self._fused_packed(x, X, nb, bs, train, input_packed)
         ndim_spatial = len(self.kernels[0])
         bias_init = conv_bias_init_for_rank(ndim_spatial)
         bs = self._blocked_block_size(x)
@@ -273,6 +433,22 @@ class EncoderStage(nn.Module):
     ndim: int = 3
     dtype: Any = jnp.float32
 
+    def _fused_eligible(self, x) -> Optional[int]:
+        """The fused-chain lowering applies under the same conditions as
+        the blocked fast path (3D, narrow channels, dividing z) plus
+        BN-on / dropout-off (BN folding is what the fusion exploits)."""
+        if not _fused_active():
+            return None
+        if self.ndim != 3 or x.ndim != 5 or self.features > 64:
+            return None
+        if not self.use_bn or self.dropout > 0.0:
+            return None
+        z = x.shape[3]
+        for bs in (8, 4, 2):
+            if z % bs == 0 and z > bs:
+                return bs
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.ndim == 3:
@@ -287,14 +463,25 @@ class EncoderStage(nn.Module):
             k_b = ((1, 3), (1, 3), (3, 1))
             p_b = ((0, 1), (0, 1), (1, 0))
             ones = (1, 1)
-        x = ConvX(self.features, kernels=k_a, strides=(ones,) * 2,
-                  paddings=p_a, use_bn=self.use_bn, residual=True,
-                  dropout=self.dropout, downsample=self.downsample,
-                  dtype=self.dtype, name="block0")(x, train)
-        x = ConvX(self.features, kernels=k_b, strides=(ones,) * 3,
-                  paddings=p_b, use_bn=self.use_bn, residual=True,
-                  dropout=self.dropout, downsample=False,
-                  dtype=self.dtype, name="block1")(x, train)
+        bs = self._fused_eligible(x)
+        block0 = ConvX(self.features, kernels=k_a, strides=(ones,) * 2,
+                       paddings=p_a, use_bn=self.use_bn, residual=True,
+                       dropout=self.dropout, downsample=self.downsample,
+                       dtype=self.dtype, name="block0")
+        block1 = ConvX(self.features, kernels=k_b, strides=(ones,) * 3,
+                       paddings=p_b, use_bn=self.use_bn, residual=True,
+                       dropout=self.dropout, downsample=False,
+                       dtype=self.dtype, name="block1")
+        if bs is not None:
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+                unpack)
+            B, Y, X, Z, _ = x.shape
+            nb = Z // bs
+            xp = block0(x, train, packed_meta=(X, nb, bs, False))
+            xp = block1(xp, train, packed_meta=(X, nb, bs, True))
+            return unpack(xp, X, nb, bs)
+        x = block0(x, train)
+        x = block1(x, train)
         return x
 
 

@@ -1,0 +1,555 @@
+"""Fused affine+ReLU+banded-conv for the ConvX encoder chains.
+
+The hot loop of the model family is chains of narrow-channel stride-1
+SAME convs with BN+ReLU between them (reference
+``models/fpn/unets3D.py:187-219``, ``fusion3D2D.py:499-581``).  The XLA
+banded lowering (:mod:`..banded`) materializes a patch volume and a
+separate buffer per elementwise pass; this module computes
+
+    y_raw = bandconv( relu( sum_i x_i * s_i + b_i ), w )
+
+as ONE Pallas kernel invocation per conv: each input slab is read once
+into VMEM, the affine (folded BatchNorm), ReLU, residual-add and all
+banded dots happen on-chip, and only the raw conv output is written.
+BatchNorm statistics and their autodiff stay in XLA-land: the caller
+computes per-channel mean/var of ``y_raw`` (one fused reduction read)
+and folds them into the next conv's ``(s, b)``.
+
+Layout — "padded thick rows" carried BETWEEN kernels so no repacking or
+re-padding pass exists inside a chain:
+
+    xp: (B, Y, RX, C)   with  RX = (X + 2) * nbp,  C = bs * ci
+        rows ordered (x, m): row r = (x + 1) * nbp + m holds z-block m
+        of en-face column x; nbp = ceil(nb/8)*8 (sublane alignment);
+        the first/last nbp rows (x = -1, x = X) and z-blocks m >= nb
+        are pad and ALWAYS ZERO in raw buffers.
+
+The z (innermost, blocked) taps use a band+wrap decomposition: `band`
+holds the in-block taps as a (bs*ci, bs*co) banded matrix, `wplus` /
+`wminus` the two cross-block taps, applied by rolling the dot output one
+row and masking the block edges.  Row rolls commute with row-wise dots,
+so the identical kernel form implements the transposed conv of the
+backward pass with flipped/transposed weights (:func:`_flip_tr`).
+
+Supported kernels: every tap in {1, 3}, stride 1, SAME — the (1,3,3),
+(3,1,1) and 1x1x1 convs of the 3D encoder stages.
+"""
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# --------------------------------------------------------------------------
+# Layout adapters
+# --------------------------------------------------------------------------
+
+def _nbp(nb: int) -> int:
+    return -(-nb // 8) * 8
+
+
+def pack(x: jnp.ndarray, bs: int) -> jnp.ndarray:
+    """(B, Y, X, Z, C) -> padded thick rows (B, Y, (X+2)*nbp, bs*C)."""
+    B, Y, X, Z, C = x.shape
+    nb = Z // bs
+    assert nb * bs == Z, (Z, bs)
+    nbp = _nbp(nb)
+    xt = x.reshape(B, Y, X, nb, bs * C)
+    xt = jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, nbp - nb), (0, 0)])
+    return xt.reshape(B, Y, (X + 2) * nbp, bs * C)
+
+
+def unpack(xp: jnp.ndarray, X: int, nb: int, bs: int) -> jnp.ndarray:
+    """Inverse of :func:`pack` -> (B, Y, X, Z, C)."""
+    B, Y, RX, CC = xp.shape
+    nbp = _nbp(nb)
+    co = CC // bs
+    xt = xp.reshape(B, Y, X + 2, nbp, bs, co)
+    xt = xt[:, :, 1:-1, :nb]
+    return xt.reshape(B, Y, X, nb * bs, co)
+
+
+def _band_wrap_matrices(w: jnp.ndarray, bs: int):
+    """Per-lead-tap weight matrices for the thick layout.
+
+    w: (kY, kX, kz, ci, co) ->
+      band:   (kY*kX, bs*ci, bs*co)  in-block z taps
+      wplus:  row (bs-1, i) -> col (0, o) with w[..., 0, :, :]
+              (the contribution of block m's tail to block m+1's head)
+      wminus: row (0, i) -> col (bs-1, o) with w[..., 2, :, :]
+    wplus/wminus are None for kz == 1.
+    """
+    kY, kX, kz, ci, co = w.shape
+    wt = w.reshape(kY * kX, kz, ci, co)
+    sel = np.zeros((kz, bs, bs), np.float32)
+    for dz in range(kz):
+        off = dz - kz // 2
+        for j in range(bs):
+            if 0 <= j + off < bs:
+                sel[dz, j + off, j] = 1.0
+    band = jnp.einsum("tdio,djk->tjiko", wt, jnp.asarray(sel, w.dtype))
+    band = band.reshape(kY * kX, bs * ci, bs * co)
+    if kz == 1:
+        return band, None, None
+    zp = np.zeros((bs, bs), np.float32)
+    zp[bs - 1, 0] = 1.0
+    zm = np.zeros((bs, bs), np.float32)
+    zm[0, bs - 1] = 1.0
+    wplus = jnp.einsum("tio,jk->tjiko", wt[:, 0],
+                       jnp.asarray(zp, w.dtype)).reshape(band.shape)
+    wminus = jnp.einsum("tio,jk->tjiko", wt[:, 2],
+                        jnp.asarray(zm, w.dtype)).reshape(band.shape)
+    return band, wplus, wminus
+
+
+def _flip_tr(w: jnp.ndarray) -> jnp.ndarray:
+    """Spatially flipped, channel-transposed kernel (the SAME-conv
+    transpose): (kY, kX, kz, ci, co) -> (kY, kX, kz, co, ci)."""
+    return jnp.swapaxes(jnp.flip(w, axis=(0, 1, 2)), -1, -2)
+
+
+def _np_masks(RX: int, X: int, nb: int, nbp: int):
+    r = np.arange(RX)
+    x = r // nbp - 1
+    m = r % nbp
+    interior = (x >= 0) & (x < X) & (m < nb)
+    head = interior & (m != 0)       # receives roll(+1) contributions
+    tail = interior & (m != nb - 1)  # receives roll(-1) contributions
+    return interior, head, tail
+
+
+# --------------------------------------------------------------------------
+# Reference (XLA) implementation — also the CPU/test path
+# --------------------------------------------------------------------------
+
+def _affine_t(xs, scales, biases, relu, interior_m):
+    t = None
+    for x, s, b in zip(xs, scales, biases):
+        term = x if s is None else x * s.astype(x.dtype)
+        if b is not None:
+            term = term + b.astype(x.dtype)
+        t = term if t is None else t + term
+    if relu:
+        t = jnp.maximum(t, 0.0)
+    return t * interior_m
+
+
+def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
+                         kY: int, kX: int, X: int, nb: int, bs: int,
+                         relu: bool, preferred_element_type):
+    """Pure-XLA fused conv on band/wrap matrices (the autodiff-closed
+    form used by the custom-VJP boundary and on CPU)."""
+    B, Y, RX, CC = xs[0].shape
+    nbp = _nbp(nb)
+    interior, head, tail = _np_masks(RX, X, nb, nbp)
+    dt = xs[0].dtype
+    to = lambda a: jnp.asarray(a[:, None], dt)
+    interior_m, head_m, tail_m = to(interior), to(head), to(tail)
+
+    t = _affine_t(xs, scales, biases, relu, interior_m)
+    py = kY // 2
+    tp = jnp.pad(t, [(0, 0), (py, py), (0, 0), (0, 0)])
+
+    out = None
+    for dy in range(kY):
+        rows_y = lax.slice_in_dim(tp, dy, dy + Y, axis=1)
+        for dx in range(kX):
+            tap = dy * kX + dx
+            # out row r reads t row r + (dx-1)*nbp; pads are zero so the
+            # wrap-around rows of jnp.roll contribute nothing.
+            rows = jnp.roll(rows_y, (1 - dx) * nbp, axis=2) \
+                if kX == 3 else rows_y
+            acc = lax.dot_general(
+                rows, band[tap],
+                dimension_numbers=(((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if wplus is not None:
+                p = lax.dot_general(
+                    rows, wplus[tap],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.roll(p, 1, axis=2) * head_m
+                q = lax.dot_general(
+                    rows, wminus[tap],
+                    dimension_numbers=(((3,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc = acc + jnp.roll(q, -1, axis=2) * tail_m
+            out = acc if out is None else out + acc
+    out = out * to(interior)
+    return out.astype(preferred_element_type)
+
+
+def fused_conv_ref(xs: Sequence[jnp.ndarray], scales, biases,
+                   w: jnp.ndarray, X: int, nb: int, bs: int,
+                   relu: bool = True,
+                   preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """Pure-XLA reference of the fused op on the padded thick layout.
+
+    xs: 1-2 arrays (B, Y, RX, bs*ci); scales/biases: per-input
+    (bs*ci,) vectors or None (identity / zero).  Returns the raw conv
+    output in the same padded layout (pad rows zero).
+    """
+    kY, kX, kz, ci, co = w.shape
+    band, wplus, wminus = _band_wrap_matrices(w.astype(xs[0].dtype), bs)
+    return _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
+                                kY, kX, X, nb, bs, relu,
+                                preferred_element_type)
+
+
+# --------------------------------------------------------------------------
+# Pallas kernel
+# --------------------------------------------------------------------------
+
+def _roll_rows(v, shift: int):
+    """Row rotate; Mosaic only implements rotate for 32-bit data, so
+    16-bit values round-trip through fp32 (one cheap VPU pass each way).
+    """
+    if v.dtype.itemsize == 4:
+        return pltpu.roll(v, shift, 0)
+    return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
+
+
+def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
+            X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype):
+    # operand order: per input i: kY slabs; then per input: scale, bias;
+    # then band [, wplus, wminus]; finally out_ref.
+    idx = 0
+    x_refs = []
+    for _ in range(n_in):
+        x_refs.append([refs[idx + d] for d in range(kY)])
+        idx += kY
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    band_ref = refs[idx]; idx += 1
+    if kz == 3:
+        wplus_ref = refs[idx]; idx += 1
+        wminus_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]
+
+    y = pl.program_id(1)
+    nbp = _nbp(nb)
+    RX = (X + 2) * nbp
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    xcol = rows_i // nbp - 1
+    mrow = jax.lax.rem(rows_i, nbp)
+    interior = jnp.logical_and(
+        jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
+    head_m = jnp.logical_and(interior, mrow != 0)
+    tail_m = jnp.logical_and(interior, mrow != nb - 1)
+
+    acc = None
+    for dy in range(kY):
+        t = None
+        for i in range(n_in):
+            xv = x_refs[i][dy][0, 0]
+            s_ref, b_ref = sb_refs[i]
+            term = xv * s_ref[:] + b_ref[:]
+            t = term if t is None else t + term
+        if relu:
+            t = jnp.maximum(t, 0.0)
+        t = jnp.where(interior, t, 0.0)
+        part = None
+        for dx in range(kX):
+            tap = dy * kX + dx
+            rows = _roll_rows(t, ((1 - dx) * nbp) % RX) \
+                if kX == 3 else t
+            a = jax.lax.dot_general(
+                rows, band_ref[tap],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if kz == 3:
+                p = jax.lax.dot_general(
+                    rows, wplus_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                a = a + jnp.where(head_m, _roll_rows(p, 1), 0.0)
+                q = jax.lax.dot_general(
+                    rows, wminus_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                a = a + jnp.where(tail_m, _roll_rows(q, RX - 1), 0.0)
+            part = a if part is None else part + a
+        if kY > 1:
+            # index_map clamps out-of-range y slabs; zero their taps.
+            yy = y + dy - kY // 2
+            vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
+            part = part * vmask
+        acc = part if acc is None else acc + part
+
+    acc = jnp.where(interior, acc, 0.0)
+    out_ref[0, 0] = acc.astype(out_dtype)
+
+
+def fused_conv_pallas(xs, scales, biases, w, X: int, nb: int, bs: int,
+                      relu: bool = True,
+                      preferred_element_type=jnp.float32,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Pallas execution of :func:`fused_conv_ref` (same contract)."""
+    kY, kX, kz, ci, co = w.shape
+    band, wplus, wminus = _band_wrap_matrices(w, bs)
+    return _fused_conv_pallas_mats(
+        xs, scales, biases, band, wplus, wminus, kY, kX, X, nb, bs,
+        relu, preferred_element_type, interpret)
+
+
+def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
+                            kY: int, kX: int, X: int, nb: int, bs: int,
+                            relu: bool, preferred_element_type,
+                            interpret: bool = False) -> jnp.ndarray:
+    n_in = len(xs)
+    B, Y, RX, CC = xs[0].shape
+    nbp = _nbp(nb)
+    ci = CC // bs
+    co = band.shape[-1] // bs
+    kz = 3 if wplus is not None else 1
+    assert RX == (X + 2) * nbp, (xs[0].shape, X, nbp)
+    dt = xs[0].dtype
+
+    ops = []
+    in_specs = []
+    for i in range(n_in):
+        for dy in range(kY):
+            off = dy - kY // 2
+            ops.append(xs[i])
+            in_specs.append(pl.BlockSpec(
+                (1, 1, RX, CC),
+                lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1),
+                                       0, 0),
+                memory_space=pltpu.VMEM))
+    for i in range(n_in):
+        s = scales[i]
+        b = biases[i]
+        ops.append(jnp.ones((1, CC), dt) if s is None
+                   else s.astype(dt).reshape(1, CC))
+        ops.append(jnp.zeros((1, CC), dt) if b is None
+                   else b.astype(dt).reshape(1, CC))
+        in_specs += [pl.BlockSpec((1, CC), lambda b, y: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+
+    nt = band.shape[0]
+    w_spec = pl.BlockSpec((nt, bs * ci, bs * co), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ops.append(band.astype(dt))
+    in_specs.append(w_spec)
+    if kz == 3:
+        ops += [wplus.astype(dt), wminus.astype(dt)]
+        in_specs += [w_spec, w_spec]
+
+    kern = functools.partial(
+        _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
+        relu=relu, Y=Y, out_dtype=preferred_element_type)
+
+    return pl.pallas_call(
+        kern,
+        grid=(B, Y),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, RX, bs * co),
+                               lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Y, RX, bs * co),
+                                       preferred_element_type),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(*ops)
+
+
+# --------------------------------------------------------------------------
+# Custom-VJP boundary
+# --------------------------------------------------------------------------
+#
+# The boundary op takes the band/wrap MATRICES (not the logical kernel):
+# the logical-w -> band expansion is a differentiable einsum outside the
+# boundary, so its pullback (the band-diagonal collapse) comes from
+# plain autodiff.  The bwd pass recomputes t from the saved inputs
+# (nothing expanded is kept alive), computes dx with the SAME kernel
+# form on flipped/transposed matrices (row rolls commute with row-wise
+# dots), and the matrix cotangents as full-lane M-contractions.
+
+def _mats_T(band, wplus, wminus):
+    rev = band[::-1]
+    bandT = jnp.swapaxes(rev, -1, -2)
+    if wplus is None:
+        return bandT, None, None
+    wplusT = jnp.swapaxes(wminus[::-1], -1, -2)
+    wminusT = jnp.swapaxes(wplus[::-1], -1, -2)
+    return bandT, wplusT, wminusT
+
+
+def _run_impl(cfg, xs, scales, biases, band, wplus, wminus):
+    kY, kX, X, nb, bs, relu, pet_name, impl = cfg
+    pet = jnp.dtype(pet_name).type
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"))
+    fn = _fused_conv_pallas_mats if use_pallas else _fused_conv_ref_mats
+    return fn(list(xs), list(scales), list(biases), band, wplus, wminus,
+              kY, kX, X, nb, bs, relu, pet)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_op(cfg, xs, scales, biases, band, wplus, wminus):
+    return _run_impl(cfg, xs, scales, biases, band, wplus, wminus)
+
+
+def _fused_fwd(cfg, xs, scales, biases, band, wplus, wminus):
+    y = _run_impl(cfg, xs, scales, biases, band, wplus, wminus)
+    return y, (xs, scales, biases, band, wplus, wminus)
+
+
+def _taps_rows(t, kY, kX, Y, nbp):
+    py = kY // 2
+    tp = jnp.pad(t, [(0, 0), (py, py), (0, 0), (0, 0)]) if py else t
+    for dy in range(kY):
+        rows_y = lax.slice_in_dim(tp, dy, dy + Y, axis=1) if py else tp
+        for dx in range(kX):
+            rows = jnp.roll(rows_y, (1 - dx) * nbp, axis=2) \
+                if kX == 3 else rows_y
+            yield dy * kX + dx, rows
+
+
+def _fused_bwd(cfg, res, g):
+    kY, kX, X, nb, bs, relu, pet_name, impl = cfg
+    xs, scales, biases, band, wplus, wminus = res
+    B, Y, RX, CC = xs[0].shape
+    nbp = _nbp(nb)
+    dt_ = xs[0].dtype
+
+    interior, head, tail = _np_masks(RX, X, nb, nbp)
+    to = lambda a: jnp.asarray(a[:, None], dt_)
+    interior_m, head_m, tail_m = to(interior), to(head), to(tail)
+
+    gm = (g * interior_m).astype(dt_)
+
+    # d/dt via the transposed conv (same kernel form, flipped matrices)
+    bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
+    cfgT = (kY, kX, X, nb, bs, False, pet_name, impl)
+    dt_full = _run_impl(cfgT, (gm,), (None,), (None,),
+                        bandT, wplusT, wminusT).astype(dt_)
+
+    # pre-activation recompute -> relu mask and input/affine cotangents
+    pre = None
+    for x, s, b in zip(xs, scales, biases):
+        term = x if s is None else x * s.astype(dt_)
+        if b is not None:
+            term = term + b.astype(dt_)
+        pre = term if pre is None else pre + term
+    if relu:
+        mask = (pre > 0).astype(dt_) * interior_m
+    else:
+        mask = interior_m
+    dtm = dt_full * mask
+
+    dxs = []
+    dscales = []
+    dbiases = []
+    for x, s, b in zip(xs, scales, biases):
+        dxs.append(dtm if s is None else dtm * s.astype(dt_))
+        dscales.append(None if s is None
+                       else jnp.sum(dtm * x, axis=(0, 1, 2)))
+        dbiases.append(None if b is None
+                       else jnp.sum(dtm, axis=(0, 1, 2)))
+
+    # Matrix cotangents: full-M contractions per tap, expressed with
+    # OFFSET SLICES of t / gm (never materialized rolls — XLA fuses the
+    # slice reads into the dot operands).  The wrap matrices have one
+    # nonzero (row-block, col-block) pair — (bs-1, 0) for wplus, (0,
+    # bs-1) for wminus — so their cotangents only need a NARROW (ci, co)
+    # dot each, padded back to dense shape (the einsum pullback outside
+    # the boundary projects onto those entries anyway).
+    t = jnp.maximum(pre, 0.0) if relu else pre
+    t = t * interior_m
+    CC = xs[0].shape[-1]
+    ci = CC // bs
+    CCo = g.shape[-1]
+    co = CCo // bs
+    contract = ((0, 1, 2), (0, 1, 2))
+
+    def shifted_dot(a, b, oy, orow, a_cols=None, b_cols=None):
+        """sum_r a[:, y+oy, r+orow, a_cols]^T b[:, y, r, b_cols]."""
+        y_lo, y_hi = max(0, -oy), min(Y, Y - oy)
+        r_lo, r_hi = max(0, -orow), min(RX, RX - orow)
+        a_sl = a[:, y_lo + oy:y_hi + oy, r_lo + orow:r_hi + orow]
+        b_sl = b[:, y_lo:y_hi, r_lo:r_hi]
+        if a_cols is not None:
+            a_sl = a_sl[..., a_cols[0]:a_cols[1]]
+        if b_cols is not None:
+            b_sl = b_sl[..., b_cols[0]:b_cols[1]]
+        return lax.dot_general(
+            a_sl, b_sl, dimension_numbers=(contract, ((), ())),
+            preferred_element_type=jnp.float32)
+
+    hg = head_m * gm if wplus is not None else None
+    tg = tail_m * gm if wplus is not None else None
+    dband = []
+    dwp = []
+    dwm = []
+    for dy in range(kY):
+        for dx in range(kX):
+            oy = dy - kY // 2
+            ox = (dx - kX // 2) * nbp
+            dband.append(shifted_dot(t, gm, oy, ox))
+            if wplus is not None:
+                # fwd: out[r] += head_m[r] * (rows @ wplus)[r-1]
+                #   => dwplus = sum_r rows[r]^T hg[r+1]
+                small_p = shifted_dot(t, hg, oy, ox - 1,
+                                      a_cols=((bs - 1) * ci, bs * ci),
+                                      b_cols=(0, co))
+                dwp.append(jnp.pad(
+                    small_p, [((bs - 1) * ci, 0), (0, (bs - 1) * co)]))
+                small_m = shifted_dot(t, tg, oy, ox + 1,
+                                      a_cols=(0, ci),
+                                      b_cols=((bs - 1) * co, bs * co))
+                dwm.append(jnp.pad(
+                    small_m, [(0, (bs - 1) * ci), ((bs - 1) * co, 0)]))
+    dband = jnp.stack(dband).astype(band.dtype)
+    dwplus = jnp.stack(dwp).astype(band.dtype) if wplus is not None \
+        else None
+    dwminus = jnp.stack(dwm).astype(band.dtype) if wplus is not None \
+        else None
+    return (tuple(dxs), tuple(dscales), tuple(dbiases),
+            dband, dwplus, dwminus)
+
+
+_fused_op.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
+               relu: bool = True, preferred_element_type=jnp.float32,
+               impl: str = "auto") -> jnp.ndarray:
+    """Differentiable fused affine+ReLU+conv on the padded thick layout.
+
+    ``impl``: 'pallas' (TPU kernel), 'ref' (pure XLA), 'auto' (pallas on
+    TPU backends, ref elsewhere).
+    """
+    kY, kX, kz, ci, co = w.shape
+    band, wplus, wminus = _band_wrap_matrices(w, bs)
+    cfg = (kY, kX, X, nb, bs, bool(relu),
+           jnp.dtype(preferred_element_type).name, impl)
+    return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
+                     band, wplus, wminus)
+
+
+def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
+                   n_batch: int, n_y: int):
+    """Per-logical-channel (mean, var) of a raw padded-layout output.
+
+    Pad rows are exactly zero, so plain sums ARE the interior sums; only
+    the divisor uses the true element count.
+    """
+    co = y_raw.shape[-1] // bs
+    n = n_batch * n_y * X * nb * bs
+    y2 = y_raw.astype(jnp.float32).reshape(-1, bs, co)
+    s1 = jnp.sum(y2, axis=(0, 1))
+    s2 = jnp.sum(jnp.square(y2), axis=(0, 1))
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    return mean, var

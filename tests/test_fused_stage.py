@@ -1,0 +1,118 @@
+"""Parity of the fused encoder-stage lowering (ops/pallas/fused_conv.py,
+ConvX._fused_packed) against the per-op blocked path.
+
+The fused path folds BatchNorm into the next conv's affine and runs each
+conv as one fused kernel; its parameter/collection tree is REQUIRED to
+be identical to the standard path so checkpoints interoperate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_fusion_fpn_tpu.models.blocks import (EncoderStage,
+                                                     set_fused_stage_mode)
+
+
+@pytest.fixture(autouse=True)
+def _restore_mode():
+    yield
+    set_fused_stage_mode("auto")
+
+
+def _stage_and_input(z=48, ci=3, co=8, downsample=True):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 4, 8, z, ci)).astype(np.float32))
+    stage = EncoderStage(co, downsample=downsample, ndim=3)
+    return stage, x
+
+
+def test_param_tree_identical():
+    stage, x = _stage_and_input()
+    set_fused_stage_mode("off")
+    vs_std = stage.init(jax.random.PRNGKey(0), x)
+    set_fused_stage_mode("on")
+    vs_fused = stage.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(vs_std)
+            == jax.tree_util.tree_structure(vs_fused))
+    for a, b in zip(jax.tree.leaves(vs_std), jax.tree.leaves(vs_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("downsample", [True, False])
+@pytest.mark.parametrize("z", [48, 36, 62])  # bs = 8, 4, 2
+def test_forward_and_stats_parity(downsample, z):
+    ci = 8 if not downsample else 3
+    stage, x = _stage_and_input(z=z, ci=ci, downsample=downsample)
+    set_fused_stage_mode("off")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+    out_std, mut_std = stage.apply(vs, x, train=True,
+                                   mutable=["batch_stats"])
+    set_fused_stage_mode("on")
+    out_f, mut_f = stage.apply(vs, x, train=True,
+                               mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_std),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(mut_f), jax.tree.leaves(mut_std)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_grad_parity():
+    stage, x = _stage_and_input()
+    set_fused_stage_mode("off")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+
+    def loss(params, mode):
+        set_fused_stage_mode(mode)
+        out, _ = stage.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.sum(out * jnp.cos(out))
+
+    g_std = jax.grad(lambda p: loss(p, "off"))(vs["params"])
+    g_fused = jax.grad(lambda p: loss(p, "on"))(vs["params"])
+    for a, b in zip(jax.tree.leaves(g_fused), jax.tree.leaves(g_std)):
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-4)
+
+
+def test_eval_mode_parity():
+    stage, x = _stage_and_input()
+    set_fused_stage_mode("off")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+    out_std = stage.apply(vs, x, train=False)
+    set_fused_stage_mode("on")
+    out_f = stage.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_std),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_full_model_forward_parity():
+    """FPNHybridFusion forward agrees between lowerings at tiny widths."""
+    from multimodal_fusion_fpn_tpu.config import make_config
+    from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
+    from multimodal_fusion_fpn_tpu.models.zoo import build_model
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(1, 1, 8, 64, 32)).astype(np.float32),
+        "slo": rng.normal(size=(1, 1, 80, 1, 32)).astype(np.float32),
+    }
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo")
+    model = build_model(cfg, spec=ArchSpec(channels=(2, 4, 8, 16, 32)),
+                        remat=False)
+    set_fused_stage_mode("off")
+    vs = model.init(jax.random.PRNGKey(0), batch)
+    out_std = model.apply(vs, batch)["prediction"]
+    set_fused_stage_mode("on")
+    vs2 = model.init(jax.random.PRNGKey(0), batch)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs2))
+    out_f = model.apply(vs, batch)["prediction"]
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_std),
+                               rtol=1e-4, atol=1e-5)

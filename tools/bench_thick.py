@@ -166,9 +166,13 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (the env var alone is ignored: the "
                          "axon plugin preloads jax)")
+    ap.add_argument("--fused", action="store_true")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.fused:
+        bench_fused(args)
+        return
     from multimodal_fusion_fpn_tpu.ops.banded import _banded_conv_blocked_impl
 
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
@@ -225,6 +229,59 @@ def main():
             line += f"  {label} {t:6.1f}/{g:6.1f}"
         print(line, flush=True)
 
+
+
+
+def bench_fused(args):
+    """--fused: fused pallas/ref op vs banded_conv_blocked at stage shapes."""
+    from multimodal_fusion_fpn_tpu.ops.banded import banded_conv_blocked
+    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+        fused_conv, pack)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    B = args.batch
+    rng = np.random.default_rng(0)
+    cases = [
+        ("s1 (1,3,3) c16", (32, 128), 496, 16, 16, (1, 3, 3), 8),
+        ("s1 (3,1,1) c16", (32, 128), 496, 16, 16, (3, 1, 1), 8),
+        ("s2 (1,3,3) c32", (32, 64), 248, 32, 32, (1, 3, 3), 8),
+        ("s3 (1,3,3) c64", (32, 32), 124, 64, 64, (1, 3, 3), 4),
+    ]
+    for name, (Y, X), Z, ci, co, kernel, bs in cases:
+        nb = Z // bs
+        x = jnp.asarray(rng.normal(size=(B, Y, X, Z, ci)), dtype)
+        w = jnp.asarray(rng.normal(size=kernel + (ci, co)) * 0.1, dtype)
+        s = jnp.asarray(rng.normal(size=(bs * ci,)), dtype)
+        b = jnp.asarray(rng.normal(size=(bs * ci,)), dtype)
+        xp = pack(x, bs)
+        x6 = x.reshape(B, Y, X, nb, bs, ci)
+
+        impl = "pallas" if not args.cpu else "ref"
+        f_fused = jax.jit(lambda xp, s, b, w: fused_conv(
+            [xp], [s], [b], w, X, nb, bs, relu=True,
+            preferred_element_type=dtype, impl=impl))
+
+        def base(x6, s, b, w):
+            t = jnp.maximum(x6 * s.reshape(bs, ci) + b.reshape(bs, ci), 0)
+            return banded_conv_blocked(t, w, preferred_element_type=dtype)
+        f_base = jax.jit(base)
+
+        t1 = timeit(f_fused, (xp, s, b, w))
+        t2 = timeit(f_base, (x6, s, b, w))
+
+        def loss_f(xp, s, b, w):
+            return jnp.sum(fused_conv([xp], [s], [b], w, X, nb, bs,
+                                      relu=True,
+                                      preferred_element_type=dtype,
+                                      impl=impl) ** 2)
+
+        def loss_b(x6, s, b, w):
+            return jnp.sum(base(x6, s, b, w) ** 2)
+        g1 = timeit(jax.jit(jax.grad(loss_f, argnums=(0, 1, 2, 3))),
+                    (xp, s, b, w))
+        g2 = timeit(jax.jit(jax.grad(loss_b, argnums=(0, 1, 2, 3))),
+                    (x6, s, b, w))
+        print(f"{name}: fused {t1:6.1f}/{g1:6.1f}  "
+              f"base {t2:6.1f}/{g2:6.1f}", flush=True)
 
 if __name__ == "__main__":
     main()
