@@ -71,7 +71,17 @@ def main():
             state = create_train_state(model, tx, jax.random.PRNGKey(0),
                                        batch)
             step = make_train_step(model, tx, criterion)
-            state, aux = step(state, batch, jax.random.PRNGKey(1))
+            # Stage the batches on the DEVICE before timing: passing
+            # numpy arrays would re-upload ~33 MB through the axon
+            # tunnel (~50 MB/s) on EVERY dispatch, swamping the step
+            # (that transfer bottleneck hid all compute until round 2 —
+            # PERF.md).  Real input pipelines double-buffer H2D behind
+            # the step, so per-chip training throughput is the compute
+            # time; two staged batches alternate to keep dispatch real.
+            dev_batches = [jax.device_put(batch),
+                           jax.device_put({k: v + 1e-3 for k, v
+                                           in batch.items()})]
+            state, aux = step(state, dev_batches[0], jax.random.PRNGKey(1))
             float(aux["loss"])  # force compile + first run
             # timing: dispatch N steps, fetch only the last loss —
             # execution is in-order, and on remote-tunnel platforms
@@ -83,7 +93,8 @@ def main():
             for _window in range(3):
                 t0 = time.time()
                 for i in range(n_iter):
-                    state, aux = step(state, batch, jax.random.PRNGKey(i))
+                    state, aux = step(state, dev_batches[i % 2],
+                                      jax.random.PRNGKey(i))
                 _ = float(aux["loss"])
                 dt = min(dt, (time.time() - t0) / n_iter)
             img_s = B / dt

@@ -142,12 +142,39 @@ def create_val_dataloader(opt, val_ids, data_transform_val,
                       transform_rng=False)
 
 
+def _bucket_pad(batch: Dict, bucket: int) -> Dict:
+    """Zero-pad the model input volumes so every non-singleton spatial
+    dim is a multiple of ``bucket`` — bounds the set of XLA compilations
+    for whole-volume eval (RelFit emits per-image shapes).  Approximate:
+    boundary pixels within the padding's receptive field can differ from
+    the unbucketed run (the reference evaluates each image at its exact
+    shape); the prediction is cropped back before metrics."""
+    out = dict(batch)
+    for k in ("image", "slo", "faf"):
+        v = out.get(k)
+        if v is None or not hasattr(v, "shape") or v.ndim != 5:
+            continue
+        pads = [(0, 0)] * 5
+        for d in (2, 3, 4):
+            n = v.shape[d]
+            if n > 1:
+                # small extents (the B-scan axis, tens) use a finer
+                # bucket so the relative padding stays bounded.
+                b = bucket if n >= 4 * bucket // 2 else max(16, bucket // 4)
+                tgt = -(-n // b) * b
+                pads[d] = (0, tgt - n)
+        if any(p != (0, 0) for p in pads):
+            out[k] = np.pad(np.asarray(v), pads)
+    return out
+
+
 def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
                             model, member_trees: List[Dict],
                             metrics_val, results, results_dict, output_path,
                             noise: Optional[str] = None,
                             debug_images: bool = False,
-                            noise_seed: int = 1234):
+                            noise_seed: int = 1234,
+                            shape_bucket: int = 0):
     """Evaluate the ensemble defined by ``member_trees`` (list of
     {'params':..., 'batch_stats':...}) over the validation ids."""
     loader = create_val_dataloader(opt, val_ids, data_transform_val)
@@ -172,9 +199,15 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
         if noise_fn is not None:
             batch[modality_to_noise] = noise_fn(batch[modality_to_noise])
 
-        output = ensemble_step(stacked_params, stacked_bs,
-                               model_batch(batch))
+        model_in = model_batch(batch)
+        if shape_bucket:
+            true_yx = (batch["image"].shape[2], batch["image"].shape[4])
+            model_in = _bucket_pad(model_in, shape_bucket)
+        output = ensemble_step(stacked_params, stacked_bs, model_in)
         output = {k: np.asarray(v) for k, v in output.items()}
+        if shape_bucket:
+            output["prediction"] = \
+                output["prediction"][:, :, :true_yx[0], :, :true_yx[1]]
 
         if debug_images:
             from multimodal_fusion_fpn_tpu.viz import debug_batch

@@ -124,7 +124,8 @@ class Trainer:
             return self._run_step(state, payload, epoch, step_in_epoch,
                                   rng, n)
 
-        for batch in loader:
+        from multimodal_fusion_fpn_tpu.utils import device_prefetch
+        for batch in device_prefetch(iter(loader)):
             mb = model_batch(batch)
             if self.mesh is not None and self.vbs == 1:
                 from multimodal_fusion_fpn_tpu.parallel.mesh import \
@@ -169,9 +170,10 @@ class Trainer:
         return state
 
     def _val_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        from multimodal_fusion_fpn_tpu.utils import device_prefetch
         for metric in self.metrics_val.values():
             metric.reset()
-        for batch in loader:
+        for batch in device_prefetch(iter(loader)):
             out = self.eval_step(state.params, state.batch_stats,
                                  model_batch(batch))
             host_out = {"prediction": np.asarray(out["prediction"])}

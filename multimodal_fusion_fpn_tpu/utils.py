@@ -70,3 +70,43 @@ def tree_to_device(batch: Dict[str, Any], sharding=None):
     if isinstance(batch, list):
         return [tree_to_device(v, sharding) for v in batch]
     return _put(batch)
+
+
+def device_prefetch(iterator, depth: int = 2, transfer=None):
+    """Yield items from ``iterator`` with host→device transfer running
+    ``depth`` items ahead on a background thread.
+
+    On the axon-tunnel platform a flagship batch is ~33 MB and the
+    tunnel sustains ~50 MB/s, so a SYNCHRONOUS upload at dispatch time
+    costs more than the whole train step — prefetching overlaps the
+    upload of batch N+1..N+depth with the device computing batch N
+    (standard double-buffered input pipelining; on directly-attached
+    TPU hosts the transfer is cheap and this is simply harmless).
+
+    ``transfer`` defaults to :func:`tree_to_device` (array leaves move,
+    strings/ids pass through).
+    """
+    import queue
+    import threading
+
+    transfer = transfer or tree_to_device
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+    _end = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(transfer(item))
+        except BaseException as exc:  # surfaced on the consumer side
+            q.put(exc)
+            return
+        q.put(_end)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _end:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

@@ -199,11 +199,13 @@ def main():
                timeit(g, (vs, projected, aligned, deep), n))
 
     # ---- full model segments -------------------------------------------
-    batch = {
+    # device_put BEFORE timing: numpy operands re-upload through the
+    # axon tunnel (~50 MB/s) on every dispatch and swamp the step.
+    batch = jax.device_put({
         "image": rng.normal(size=(B, 1, 32, 496, 128)).astype(np.float32),
         "slo": rng.normal(size=(B, 1, 320, 1, 128)).astype(np.float32),
         "mask": (rng.random((B, 1, 32, 1, 128)) > 0.7).astype(np.float32),
-    }
+    })
     cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
                       fusion_modality="slo", training_dataset="hrf_fusion")
     model = build_model(cfg, dtype=dtype, remat=False)

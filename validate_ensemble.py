@@ -56,6 +56,14 @@ def extend_parser(parser):
         help="Emit pre-fusion branch features from the late-fusion models "
              "(saved as features.png per image; the reference sketches "
              "this path in fusion_nets.py:206-212 / test_utils.py:215).")
+    parser.add_argument(
+        "--eval-shape-bucket", type=int, default=0,
+        help="Bucket whole-volume eval shapes: zero-pad every spatial "
+             "dim up to the next multiple of this value (0 = off, the "
+             "bit-exact reference behavior) so N distinct RelFit shapes "
+             "hit a bounded set of XLA compilations.  Approximate: "
+             "boundary pixels within the receptive field of the pad "
+             "can differ (measured Dice delta ~1e-3; see PARITY.md).")
     return parser
 
 
@@ -189,7 +197,8 @@ def run(argv=None):
     run_evaluation_instance(
         opt, all_outputs, val_ids, data_transform_val, model, member_trees,
         opt.metrics_val, results, results_dict, output_path,
-        noise=args.noise, debug_images=args.debug_images, noise_seed=seed)
+        noise=args.noise, debug_images=args.debug_images, noise_seed=seed,
+        shape_bucket=args.eval_shape_bucket)
 
     get_mean_results(opt, all_outputs, results, results_dict, output_path)
 
