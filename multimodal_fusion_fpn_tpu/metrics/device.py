@@ -9,6 +9,9 @@ the host-side accumulators (:mod:`.streaming`) consume them via
 (hard Dice@0.5 with empty-empty→1; BCE with torch's -100 log clamp).
 """
 
+from functools import partial
+
+import jax
 import jax.numpy as jnp
 
 
@@ -31,3 +34,111 @@ def bce_scalar(pred: jnp.ndarray, gt: jnp.ndarray, slice_idx: int = 0):
     log_p = jnp.clip(jnp.log(p), -100.0, None)
     log_1p = jnp.clip(jnp.log1p(-p), -100.0, None)
     return -jnp.mean(g * log_p + (1.0 - g) * log_1p)
+
+
+# ---------------------------------------------------------------------------
+# On-device Hausdorff distances (BASELINE north star: "Hausdorff run
+# on-device").  Semantics match metrics/hausdorff.py (itself MedPy-parity,
+# reference common/metrics.py:402,449): surfaces via binary erosion with
+# the connectivity structure (border value 0), directed distances as the
+# exact EDT of the other surface sampled at own surface, hd = max of the
+# two directed maxima, hd95 = 95th percentile of the CONCATENATED
+# directed distance sets (numpy linear interpolation).
+#
+# TPU-native formulation: no scipy EDT — the masked nearest-surface
+# distance is an exact SEPARABLE broadcast-min,
+#     min_q (dy2[py,qy] + dx2[px,qx] + inf*(1-surf[qy,qx]))
+#   = min_qy ( dy2[py,qy] + min_qx (dx2[px,qx] + inf*(1-surf[qy,qx])) ),
+# two dense reductions of ~(H*W*max(H,W)) elements — microseconds at the
+# en-face sizes, fully jittable, batch-free (one 2D slice per call).
+# ---------------------------------------------------------------------------
+
+_BIG = 1e12
+
+
+def _surface(mask: jnp.ndarray, connectivity: int) -> jnp.ndarray:
+    """mask ^ binary_erosion(mask, structure, border_value=0) for 2D."""
+    m = mask.astype(bool)
+    if connectivity >= 2:
+        offs = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    else:
+        offs = [(0, 0), (-1, 0), (1, 0), (0, -1), (0, 1)]
+    eroded = m
+    for dy, dx in offs:
+        shifted = jnp.roll(m, (dy, dx), axis=(0, 1))
+        # zero border: rolled-in rows/cols are outside the image
+        if dy == 1:
+            shifted = shifted.at[0, :].set(False)
+        elif dy == -1:
+            shifted = shifted.at[-1, :].set(False)
+        if dx == 1:
+            shifted = shifted.at[:, 0].set(False)
+        elif dx == -1:
+            shifted = shifted.at[:, -1].set(False)
+        eroded = jnp.logical_and(eroded, shifted)
+    return jnp.logical_and(m, jnp.logical_not(eroded))
+
+
+def _masked_min_dist2(surf_to: jnp.ndarray, sy: jnp.ndarray,
+                      sx: jnp.ndarray) -> jnp.ndarray:
+    """d2[p] = min over surface pixels q of the anisotropic squared
+    distance; (H, W) output."""
+    H, W = surf_to.shape
+    iy = jnp.arange(H, dtype=jnp.float32)
+    ix = jnp.arange(W, dtype=jnp.float32)
+    dy2 = jnp.square((iy[:, None] - iy[None, :]) * sy)   # (Hp, Hq)
+    dx2 = jnp.square((ix[:, None] - ix[None, :]) * sx)   # (Wp, Wq)
+    pen = jnp.where(surf_to, 0.0, _BIG)                  # (Hq, Wq)
+    # mincol[qy, px] = min_qx dx2[px, qx] + pen[qy, qx]
+    mincol = jnp.min(dx2[None, :, :] + pen[:, None, :], axis=2)
+    # d2[py, px] = min_qy dy2[py, qy] + mincol[qy, px]
+    return jnp.min(dy2[:, :, None] + mincol[None, :, :], axis=1)
+
+
+def _percentile(values: jnp.ndarray, valid: jnp.ndarray,
+                q: float) -> jnp.ndarray:
+    """numpy-style linear-interpolation percentile of the masked values."""
+    n = valid.sum()
+    order = jnp.argsort(jnp.where(valid, values, jnp.inf))
+    v = values[order]
+    rank = q / 100.0 * (n.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(rank).astype(jnp.int32)
+    hi = jnp.ceil(rank).astype(jnp.int32)
+    frac = rank - lo.astype(jnp.float32)
+    return v[lo] * (1.0 - frac) + v[hi] * frac
+
+
+@partial(jax.jit, static_argnames=("connectivity",))
+def hausdorff_device(result: jnp.ndarray, reference: jnp.ndarray,
+                     spacing: jnp.ndarray, connectivity: int = 1):
+    """(hd, hd95) of two 2D binary masks on device.
+
+    ``spacing``: (2,) voxel spacing (the caller passes
+    ``spacing[[0, 2]]`` like the reference).  Returns NaN for either
+    value when a mask is empty (the reference's convention).
+    """
+    res = result.astype(bool)
+    ref = reference.astype(bool)
+    sy, sx = spacing[0].astype(jnp.float32), spacing[1].astype(jnp.float32)
+
+    s_res = _surface(res, connectivity)
+    s_ref = _surface(ref, connectivity)
+
+    d_to_ref = jnp.sqrt(_masked_min_dist2(s_ref, sy, sx))
+    d_to_res = jnp.sqrt(_masked_min_dist2(s_res, sy, sx))
+
+    v1 = d_to_ref.reshape(-1)
+    m1 = s_res.reshape(-1)
+    v2 = d_to_res.reshape(-1)
+    m2 = s_ref.reshape(-1)
+
+    hd = jnp.maximum(jnp.max(jnp.where(m1, v1, -jnp.inf)),
+                     jnp.max(jnp.where(m2, v2, -jnp.inf)))
+    both = jnp.concatenate([v1, v2])
+    mboth = jnp.concatenate([m1, m2])
+    hd95 = _percentile(both, mboth, 95.0)
+
+    empty = jnp.logical_or(res.sum() == 0, ref.sum() == 0)
+    nan = jnp.float32(jnp.nan)
+    return (jnp.where(empty, nan, hd.astype(jnp.float32)),
+            jnp.where(empty, nan, hd95.astype(jnp.float32)))

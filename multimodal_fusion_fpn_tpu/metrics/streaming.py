@@ -235,11 +235,27 @@ class _HausdorffBase(Metrics):
     connectivity = 1
 
     def __init__(self, output_key: Key = 0, target_key: Key = 0,
-                 slice: int = 0):
+                 slice: int = 0, device: bool = False):
+        """``device=True`` computes the distances on the accelerator
+        (:func:`..device.hausdorff_device`, exact separable-min EDT)
+        instead of the host scipy path — numerically identical
+        (tests/test_device_hausdorff.py)."""
         super().__init__()
         self.output_key = output_key
         self.target_key = target_key
         self.slice = slice
+        self.device = device
+
+    def _device_distance(self, p, g, spacing, connectivity, want95):
+        import jax.numpy as jnp
+        from multimodal_fusion_fpn_tpu.metrics.device import \
+            hausdorff_device
+        sp = np.asarray([1.0, 1.0] if spacing is None else spacing,
+                        np.float32)
+        hd_v, hd95_v = hausdorff_device(jnp.asarray(p), jnp.asarray(g),
+                                        jnp.asarray(sp),
+                                        connectivity=connectivity)
+        return float(hd95_v if want95 else hd_v)
 
     def _distance(self, p, g, spacing):
         raise NotImplementedError
@@ -267,9 +283,13 @@ class _HausdorffBase(Metrics):
 
 class Hausdorff(_HausdorffBase):
     def _distance(self, p, g, spacing):
+        if self.device:
+            return self._device_distance(p, g, spacing, 1, want95=False)
         return _hd(p, g, voxelspacing=spacing, connectivity=1)
 
 
 class Hausdorff95(_HausdorffBase):
     def _distance(self, p, g, spacing):
+        if self.device:
+            return self._device_distance(p, g, spacing, 3, want95=True)
         return _hd95(p, g, voxelspacing=spacing, connectivity=3)

@@ -1,0 +1,72 @@
+"""On-device Hausdorff/HD95 (metrics/device.py) vs the host MedPy-parity
+implementation (metrics/hausdorff.py) — exact agreement including
+connectivity structures, anisotropic spacing, empty-mask NaN, and the
+streaming-metric integration (device=True)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multimodal_fusion_fpn_tpu.metrics.device import hausdorff_device
+from multimodal_fusion_fpn_tpu.metrics.hausdorff import hd as host_hd
+from multimodal_fusion_fpn_tpu.metrics.hausdorff import hd95 as host_hd95
+
+
+@pytest.mark.parametrize("connectivity", [1, 3])
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_host_random(connectivity, seed):
+    rng = np.random.default_rng(seed)
+    H, W = int(rng.integers(8, 50)), int(rng.integers(8, 100))
+    p = rng.random((H, W)) > 0.6
+    g = rng.random((H, W)) > 0.55
+    sp = np.array([0.12, 0.011])
+    dev_hd, dev_95 = hausdorff_device(jnp.asarray(p), jnp.asarray(g),
+                                      jnp.asarray(sp),
+                                      connectivity=connectivity)
+    np.testing.assert_allclose(
+        float(dev_hd), host_hd(p, g, voxelspacing=sp,
+                               connectivity=connectivity), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(dev_95), host_hd95(p, g, voxelspacing=sp,
+                                 connectivity=connectivity), rtol=1e-4)
+
+
+def test_disjoint_blobs():
+    p = np.zeros((40, 60), bool)
+    p[2:5, 3:9] = True
+    g = np.zeros((40, 60), bool)
+    g[20:, 30:] = True
+    sp = np.array([0.5, 0.25])
+    dev_hd, dev_95 = hausdorff_device(jnp.asarray(p), jnp.asarray(g),
+                                      jnp.asarray(sp), connectivity=1)
+    np.testing.assert_allclose(
+        float(dev_hd), host_hd(p, g, voxelspacing=sp, connectivity=1),
+        rtol=1e-5)
+    np.testing.assert_allclose(
+        float(dev_95), host_hd95(p, g, voxelspacing=sp, connectivity=1),
+        rtol=1e-4)
+
+
+def test_empty_mask_nan():
+    p = np.zeros((16, 16), bool)
+    g = np.ones((16, 16), bool)
+    hd_v, hd95_v = hausdorff_device(jnp.asarray(p), jnp.asarray(g),
+                                    jnp.asarray(np.array([1.0, 1.0])))
+    assert np.isnan(float(hd_v)) and np.isnan(float(hd95_v))
+
+
+def test_streaming_metric_device_flag():
+    from multimodal_fusion_fpn_tpu.metrics.streaming import (Hausdorff,
+                                                             Hausdorff95)
+    rng = np.random.default_rng(3)
+    pred = (rng.random((1, 1, 20, 1, 40)) > 0.5).astype(np.float32)
+    gt = (rng.random((1, 1, 20, 1, 40)) > 0.5).astype(np.float32)
+    batch = {"mask": gt,
+             "spacing": np.tile(np.array([0.12, 0.004, 0.011]), (1, 1))}
+    out = {"prediction": pred}
+    for cls in (Hausdorff, Hausdorff95):
+        host = cls(output_key="prediction", target_key="mask")
+        dev = cls(output_key="prediction", target_key="mask", device=True)
+        np.testing.assert_allclose(
+            np.asarray(dev.calculate_batch(batch, out)),
+            np.asarray(host.calculate_batch(batch, out)), rtol=1e-4)
