@@ -485,6 +485,90 @@ class EncoderStage(nn.Module):
         return x
 
 
+class _FusedReduction(nn.Module):
+    """Fused lowering of the projection cascade's 'red' ConvX: the n
+    stride-2 (1,1,3) convs run as fused kernels on the thick layout with
+    shrinking valid-slot counts (halving per reduction), BatchNorm
+    folded like the encoder chain.  When the slot count bottoms out
+    (valid < 2, e.g. the 4th reduction of zdimRed1 at bs=8) the
+    remaining convs run on the compacted array via the classic per-op
+    path; the strided 1x1 downsample always does (it is a cheap sliced
+    conv).  Parameter tree identical to ConvX(kernels=((1,1,3),)*n,
+    strides=((1,1,2),)*n, downsample_strides=(1,1,2**n))."""
+
+    features: int
+    n: int
+    bs: int
+    use_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+            fused_conv_strided, interior_stats_slots, pack, unpack_slots)
+        B, Y, X, Z, ci0 = x.shape
+        bs = self.bs
+        nb = Z // bs
+        co = self.features
+        dt = self.dtype
+        n = self.n
+        r_fused = min(n, bs.bit_length() - 1)
+
+        x = x.astype(dt)
+        xp = pack(x, bs)
+
+        def bn(y_raw, valid, name):
+            mean, var = interior_stats_slots(y_raw, X, nb, bs, valid,
+                                             B, Y)
+            s, b = _BNFold(co, name=name)(mean, var, train)
+            return (jnp.tile(s, bs).astype(dt),
+                    jnp.tile(b, bs).astype(dt))
+
+        valid = bs
+        cur, cur_s, cur_b = xp, None, None
+        ci = ci0
+        for i in range(r_fused):
+            w = _ConvKernel((1, 1, 3, ci, co), name=f"conv{i}")()
+            y = fused_conv_strided([cur], [cur_s], [cur_b], w.astype(dt),
+                                   X, nb, bs, valid_in=valid,
+                                   relu=(i > 0),
+                                   preferred_element_type=dt)
+            valid //= 2
+            cur_s, cur_b = bn(y, valid, f"bn{i}")
+            cur, ci = y, co
+
+        y_small = unpack_slots(cur, X, nb, bs, valid)
+        last = y_small * cur_s[:co] + cur_b[:co]
+        if r_fused < n:
+            t = nn.relu(last)
+            for i in range(r_fused, n):
+                t = TpuConv(co, kernel_size=(1, 1, 3),
+                            strides=(1, 1, 2), padding=(0, 0, 1),
+                            use_bias=not self.use_bn,
+                            kernel_init=conv_kernel_init,
+                            bias_init=conv_bias_init_for_rank(3),
+                            dtype=dt, name=f"conv{i}")(t)
+                t = nn.BatchNorm(use_running_average=not train,
+                                 momentum=0.9, epsilon=1e-5,
+                                 scale_init=bn_scale_init, dtype=dt,
+                                 name=f"bn{i}")(t)
+                if i < n - 1:
+                    t = nn.relu(t)
+            last = t
+
+        res = TpuConv(co, kernel_size=(1, 1, 1),
+                      strides=(1, 1, 2 ** n), padding=(0, 0, 0),
+                      use_bias=not self.use_bn,
+                      kernel_init=conv_kernel_init,
+                      bias_init=conv_bias_init_for_rank(3),
+                      dtype=dt, name="ds_conv")(x)
+        res = nn.BatchNorm(use_running_average=not train,
+                           momentum=0.9, epsilon=1e-5,
+                           scale_init=bn_scale_init, dtype=dt,
+                           name="ds_bn")(res)
+        return nn.relu(last + res)
+
+
 class ZDimReduction(nn.Module):
     """Depth-projection head: ``num_reductions`` (1,1,3)-stride-(1,1,2)
     convs (residual, with a strided 1x1 projection path), then a (1,1,K)
@@ -497,19 +581,43 @@ class ZDimReduction(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
+    def _fused_bs(self, x) -> Optional[int]:
+        # Measured on-chip: the strided fused cascade LOSES to the
+        # classic per-op path (bf16 proj fwd+bwd totals: classic 63.4,
+        # all-fused 72.7, first-only+compact 102.9 ms — the slot-sparse
+        # full-width buffers make the backward pay full-size
+        # contractions).  Kept as opt-in infrastructure (MMF_FUSED_PROJ=1).
+        if _os.environ.get("MMF_FUSED_PROJ", "0") != "1":
+            return None
+        if not _fused_active() or x.ndim != 5:
+            return None
+        if not self.use_bn or self.dropout > 0.0 or self.features > 64:
+            return None
+        z = x.shape[3]
+        for bs in (8, 4, 2):
+            if z % bs == 0 and z > bs:
+                return bs
+        return None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         n = self.num_reductions
         if n > 0:
-            x = ConvX(self.features,
-                      kernels=((1, 1, 3),) * n,
-                      strides=((1, 1, 2),) * n,
-                      paddings=((0, 0, 1),) * n,
-                      use_bn=self.use_bn, residual=True,
-                      dropout=self.dropout,
-                      downsample=True,
-                      downsample_strides=(1, 1, 2 ** n),
-                      dtype=self.dtype, name="red")(x, train)
+            bs = self._fused_bs(x)
+            if bs is not None:
+                x = _FusedReduction(self.features, n=n, bs=bs,
+                                    use_bn=self.use_bn,
+                                    dtype=self.dtype, name="red")(x, train)
+            else:
+                x = ConvX(self.features,
+                          kernels=((1, 1, 3),) * n,
+                          strides=((1, 1, 2),) * n,
+                          paddings=((0, 0, 1),) * n,
+                          use_bn=self.use_bn, residual=True,
+                          dropout=self.dropout,
+                          downsample=True,
+                          downsample_strides=(1, 1, 2 ** n),
+                          dtype=self.dtype, name="red")(x, train)
         x = ConvX(self.features,
                   kernels=((1, 1, self.final_kernel),),
                   strides=((1, 1, 1),),

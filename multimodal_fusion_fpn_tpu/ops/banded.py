@@ -68,6 +68,7 @@ def banded_conv(x: jnp.ndarray, w: jnp.ndarray,
     spatial = x.shape[1:-1]
     z = spatial[-1]
     z_out = _out_size(z, kz, sz, pz)
+    block = max(1, min(block, z_out))  # tiny-z tails of the cascades
     nb = -(-z_out // block)  # ceil
     win = (block - 1) * sz + kz  # input extent per output block
 

@@ -386,7 +386,7 @@ def _mats_T(band, wplus, wminus):
 
 
 def _run_impl(cfg, xs, scales, biases, band, wplus, wminus):
-    kY, kX, X, nb, bs, relu, pet_name, impl = cfg
+    kY, kX, X, nb, bs, relu, pet_name, impl = cfg[:8]
     pet = jnp.dtype(pet_name).type
     use_pallas = (impl == "pallas" or
                   (impl == "auto" and jax.default_backend() == "tpu"))
@@ -417,7 +417,7 @@ def _taps_rows(t, kY, kX, Y, nbp):
 
 
 def _fused_bwd(cfg, res, g):
-    kY, kX, X, nb, bs, relu, pet_name, impl = cfg
+    kY, kX, X, nb, bs, relu, pet_name, impl, wp_slots, wm_slots = cfg
     xs, scales, biases, band, wplus, wminus = res
     B, Y, RX, CC = xs[0].shape
     nbp = _nbp(nb)
@@ -431,7 +431,7 @@ def _fused_bwd(cfg, res, g):
 
     # d/dt via the transposed conv (same kernel form, flipped matrices)
     bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
-    cfgT = (kY, kX, X, nb, bs, False, pet_name, impl)
+    cfgT = (kY, kX, X, nb, bs, False, pet_name, impl, wm_slots, wp_slots)
     dt_full = _run_impl(cfgT, (gm,), (None,), (None,),
                         bandT, wplusT, wminusT).astype(dt_)
 
@@ -499,17 +499,24 @@ def _fused_bwd(cfg, res, g):
             dband.append(shifted_dot(t, gm, oy, ox))
             if wplus is not None:
                 # fwd: out[r] += head_m[r] * (rows @ wplus)[r-1]
-                #   => dwplus = sum_r rows[r]^T hg[r+1]
+                #   => dwplus = sum_r rows[r]^T hg[r+1].  The wrap
+                # matrices have ONE nonzero (row-slot, col-slot) pair —
+                # (bs-1, 0) for the stride-1 wplus, (valid_in-1, 0) for
+                # the strided cascade — carried in cfg.
+                ps, pd = wp_slots
                 small_p = shifted_dot(t, hg, oy, ox - 1,
-                                      a_cols=((bs - 1) * ci, bs * ci),
-                                      b_cols=(0, co))
+                                      a_cols=(ps * ci, (ps + 1) * ci),
+                                      b_cols=(pd * co, (pd + 1) * co))
                 dwp.append(jnp.pad(
-                    small_p, [((bs - 1) * ci, 0), (0, (bs - 1) * co)]))
+                    small_p, [(ps * ci, (bs - 1 - ps) * ci),
+                              (pd * co, (bs - 1 - pd) * co)]))
+                ms, md = wm_slots
                 small_m = shifted_dot(t, tg, oy, ox + 1,
-                                      a_cols=(0, ci),
-                                      b_cols=((bs - 1) * co, bs * co))
+                                      a_cols=(ms * ci, (ms + 1) * ci),
+                                      b_cols=(md * co, (md + 1) * co))
                 dwm.append(jnp.pad(
-                    small_m, [(0, (bs - 1) * ci), ((bs - 1) * co, 0)]))
+                    small_m, [(ms * ci, (bs - 1 - ms) * ci),
+                              (md * co, (bs - 1 - md) * co)]))
     dband = jnp.stack(dband).astype(band.dtype)
     dwplus = jnp.stack(dwp).astype(band.dtype) if wplus is not None \
         else None
@@ -533,7 +540,8 @@ def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
     kY, kX, kz, ci, co = w.shape
     band, wplus, wminus = _band_wrap_matrices(w, bs)
     cfg = (kY, kX, X, nb, bs, bool(relu),
-           jnp.dtype(preferred_element_type).name, impl)
+           jnp.dtype(preferred_element_type).name, impl,
+           (bs - 1, 0), (0, bs - 1))
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
 
@@ -547,6 +555,86 @@ def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
     """
     co = y_raw.shape[-1] // bs
     n = n_batch * n_y * X * nb * bs
+    y2 = y_raw.astype(jnp.float32).reshape(-1, bs, co)
+    s1 = jnp.sum(y2, axis=(0, 1))
+    s2 = jnp.sum(jnp.square(y2), axis=(0, 1))
+    mean = s1 / n
+    var = s2 / n - jnp.square(mean)
+    return mean, var
+
+
+# --------------------------------------------------------------------------
+# Strided (projection-cascade) variant
+# --------------------------------------------------------------------------
+#
+# The zdimRed cascades are stride-2 (1,1,3) convs (reference
+# unets3D.py:356-437).  On the thick layout a stride-2 z-conv is STILL
+# one band matrix: input slots j_in < valid_in of block m hold
+# z = m*valid_in + j_in; the output lives in slots j_out < valid_in//2
+# with z' = m*valid_out + j_out, reading z_in = 2*j_out + dz - 1 —
+# in-block except j_out=0, dz=0 which reads the PREVIOUS block's slot
+# valid_in-1 (a wplus-style head roll).  The generic kernel and custom
+# VJP apply unchanged; only the matrices differ.
+
+def _band_wrap_strided(w: jnp.ndarray, bs: int, valid_in: int):
+    """w: (1, 1, kz, ci, co), kz in {1, 3}, stride 2, SAME pad kz//2.
+    Returns (band, wplus, wminus) of shape (1, bs*ci, bs*co); output
+    slots j >= valid_in//2 stay structurally zero."""
+    kY, kX, kz, ci, co = w.shape
+    assert kY == kX == 1 and valid_in >= 2, (w.shape, valid_in)
+    valid_out = valid_in // 2
+    wt = w.reshape(kz, ci, co)
+    sel = np.zeros((kz, bs, bs), np.float32)
+    for dz in range(kz):
+        for j_out in range(valid_out):
+            j_in = 2 * j_out + dz - kz // 2
+            if 0 <= j_in < valid_in:
+                sel[dz, j_in, j_out] = 1.0
+    band = jnp.einsum("dio,djk->jiko", wt, jnp.asarray(sel, w.dtype))
+    band = band.reshape(1, bs * ci, bs * co)
+    if kz == 1:
+        return band, None, None
+    # j_out = 0, dz = 0 reads z_in = -1: previous block's slot valid_in-1
+    zp = np.zeros((bs, bs), np.float32)
+    zp[valid_in - 1, 0] = 1.0
+    wplus = jnp.einsum("io,jk->jiko", wt[0],
+                       jnp.asarray(zp, w.dtype)).reshape(band.shape)
+    return band, wplus, jnp.zeros_like(band)
+
+
+def fused_conv_strided(xs, scales, biases, w, X: int, nb: int, bs: int,
+                       valid_in: int, relu: bool = True,
+                       preferred_element_type=jnp.float32,
+                       impl: str = "auto") -> jnp.ndarray:
+    """Differentiable stride-2 z-conv on the padded thick layout (slots
+    j >= valid_in are ignored on input; output occupies j < valid_in//2).
+    """
+    band, wplus, wminus = _band_wrap_strided(w, bs, valid_in)
+    cfg = (1, 1, X, nb, bs, bool(relu),
+           jnp.dtype(preferred_element_type).name, impl,
+           (valid_in - 1, 0), (0, bs - 1))
+    return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
+                     band, wplus, wminus)
+
+
+def unpack_slots(xp: jnp.ndarray, X: int, nb: int, bs: int,
+                 valid: int) -> jnp.ndarray:
+    """Compact a slot-sparse thick buffer to (B, Y, X, nb*valid, C)."""
+    B, Y, RX, CC = xp.shape
+    nbp = _nbp(nb)
+    co = CC // bs
+    xt = xp.reshape(B, Y, X + 2, nbp, bs, co)
+    xt = xt[:, :, 1:-1, :nb, :valid]
+    return xt.reshape(B, Y, X, nb * valid, co)
+
+
+def interior_stats_slots(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
+                         valid: int, n_batch: int, n_y: int):
+    """Per-channel (mean, var) when only slots j < valid are populated
+    (the other slots are structural zeros: sums are exact, only the
+    divisor uses the true count)."""
+    co = y_raw.shape[-1] // bs
+    n = n_batch * n_y * X * nb * valid
     y2 = y_raw.astype(jnp.float32).reshape(-1, bs, co)
     s1 = jnp.sum(y2, axis=(0, 1))
     s2 = jnp.sum(jnp.square(y2), axis=(0, 1))

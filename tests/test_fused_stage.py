@@ -116,3 +116,49 @@ def test_full_model_forward_parity():
     out_f = model.apply(vs, batch)["prediction"]
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_std),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("z,num_reductions", [(48, 2), (48, 4), (62, 1)])
+def test_projection_cascade_parity(z, num_reductions, monkeypatch):
+    """_FusedReduction (strided fused cascade, opt-in via
+    MMF_FUSED_PROJ) vs the per-op ConvX path: identical param tree,
+    matching forward/stats/grads."""
+    import os
+    from multimodal_fusion_fpn_tpu.models.blocks import ZDimReduction
+    monkeypatch.setitem(os.environ, "MMF_FUSED_PROJ", "1")
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 3, 6, z, 8)).astype(np.float32))
+    proj = ZDimReduction(8, num_reductions=num_reductions)
+
+    set_fused_stage_mode("off")
+    vs = proj.init(jax.random.PRNGKey(0), x)
+    out_std, mut_std = proj.apply(vs, x, train=True,
+                                  mutable=["batch_stats"])
+    set_fused_stage_mode("on")
+    vs2 = proj.init(jax.random.PRNGKey(0), x)
+    assert (jax.tree_util.tree_structure(vs)
+            == jax.tree_util.tree_structure(vs2))
+    for a, b in zip(jax.tree.leaves(vs), jax.tree.leaves(vs2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out_f, mut_f = proj.apply(vs, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_std),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(jax.tree.leaves(mut_f), jax.tree.leaves(mut_std)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    def loss(params, mode):
+        set_fused_stage_mode(mode)
+        out, _ = proj.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, x,
+            train=True, mutable=["batch_stats"])
+        return jnp.sum(out * jnp.cos(out))
+
+    g_std = jax.grad(lambda p: loss(p, "off"))(vs["params"])
+    g_f = jax.grad(lambda p: loss(p, "on"))(vs["params"])
+    for a, b in zip(jax.tree.leaves(g_f), jax.tree.leaves(g_std)):
+        scale = float(np.abs(np.asarray(b)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=0, atol=2e-4)
