@@ -444,7 +444,13 @@ class EncoderStage(nn.Module):
         if not self.use_bn or self.dropout > 0.0:
             return None
         z = x.shape[3]
-        for bs in (8, 4, 2):
+        # Prefer bs*C = 128 (one MXU tile): band-dot FLOPs scale
+        # LINEARLY with bs, so the smallest full-lane block wins
+        # (measured bf16 fwd: s2 c32 bs8 4.9 -> bs4 3.8 ms; s3 c64
+        # bs4 4.0 -> bs2 3.4 ms per conv).
+        preferred = max(2, min(8, 128 // max(1, self.features)))
+        for bs in sorted({preferred, 8, 4, 2},
+                         key=lambda b: (b != preferred, -b)):
             if z % bs == 0 and z > bs:
                 return bs
         return None

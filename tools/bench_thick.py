@@ -241,10 +241,11 @@ def bench_fused(args):
     B = args.batch
     rng = np.random.default_rng(0)
     cases = [
-        ("s1 (1,3,3) c16", (32, 128), 496, 16, 16, (1, 3, 3), 8),
-        ("s1 (3,1,1) c16", (32, 128), 496, 16, 16, (3, 1, 1), 8),
-        ("s2 (1,3,3) c32", (32, 64), 248, 32, 32, (1, 3, 3), 8),
-        ("s3 (1,3,3) c64", (32, 32), 124, 64, 64, (1, 3, 3), 4),
+        ("s2 c32 bs8", (32, 64), 248, 32, 32, (1, 3, 3), 8),
+        ("s2 c32 bs4", (32, 64), 248, 32, 32, (1, 3, 3), 4),
+        ("s3 c64 bs4", (32, 32), 124, 64, 64, (1, 3, 3), 4),
+        ("s3 c64 bs2", (32, 32), 124, 64, 64, (1, 3, 3), 2),
+        ("s1 c16 bs8", (32, 128), 496, 16, 16, (1, 3, 3), 8),
     ]
     for name, (Y, X), Z, ci, co, kernel, bs in cases:
         nb = Z // bs
