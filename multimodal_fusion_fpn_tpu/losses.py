@@ -14,6 +14,10 @@ def bce_loss(output_key: str = "prediction", target_key: str = "mask"):
     (``loss.py:35-56``; ``F.binary_cross_entropy`` semantics: inputs are
     probabilities, clamped log terms)."""
     def fn(target: Dict, predict: Dict) -> jnp.ndarray:
+        # trace-time analogue of the reference's runtime shape assert
+        # (loss.py:49)
+        assert target[target_key].shape == predict[output_key].shape, (
+            target[target_key].shape, predict[output_key].shape)
         pred = predict[output_key].reshape(-1)
         gt = target[target_key].reshape(-1).astype(pred.dtype)
         # torch binary_cross_entropy clamps log outputs at -100.
@@ -32,6 +36,10 @@ def dice_loss_joint(output_key: str = "prediction",
     ``2*(sum(p*g)+1e-6) / (sum(p^2)+sum(g)+2e-6)``, summed over batch and
     spatial dims; loss is ``1 - mean_over_channels(dice)``."""
     def fn(target: Dict, predict: Dict) -> jnp.ndarray:
+        # trace-time analogue of the reference's shape assert
+        # (loss.py:75-76)
+        assert target[target_key].shape == predict[output_key].shape, (
+            f"{target[target_key].shape} != {predict[output_key].shape}")
         shape = target[target_key].shape
         pred = predict[output_key].reshape(shape[0], shape[1], -1)
         gt = target[target_key].reshape(shape[0], shape[1], -1)

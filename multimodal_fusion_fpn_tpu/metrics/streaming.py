@@ -67,6 +67,9 @@ class Dice(Metrics):
     def calculate_batch(self, ground: dict, predict: dict) -> np.ndarray:
         pred = _np(predict[self.output_key])
         gr = _np(ground[self.target_key])
+        # reference guard (metrics.py:238-242)
+        assert gr[:, self.slice].shape == pred[:, self.slice].shape, (
+            f"GT: {gr.shape}, Pred.: {pred.shape}")
         n = pred.shape[0]
         pred = (pred[:, self.slice] > self.output_threshold).astype(
             np.float64).reshape(n, -1)
