@@ -230,8 +230,7 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         idx += 2
     band_ref = refs[idx]; idx += 1
     if kz == 3:
-        wplus_ref = refs[idx]; idx += 1
-        wminus_ref = refs[idx]; idx += 1
+        wrap_ref = refs[idx]; idx += 1  # wplus + wminus (disjoint cols)
     out_ref = refs[idx]
 
     y = pl.program_id(1)
@@ -245,6 +244,14 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
     head_m = jnp.logical_and(interior, mrow != 0)
     tail_m = jnp.logical_and(interior, mrow != nb - 1)
+    if kz == 3:
+        # wplus writes only col-block 0, wminus only col-block bs-1 —
+        # one combined dot, contributions separated by column masks.
+        CCo = out_ref.shape[-1]
+        co = CCo // bs
+        col = jax.lax.broadcasted_iota(jnp.int32, (RX, CCo), 1)
+        head_cols = jnp.logical_and(head_m, col < co)
+        tail_cols = jnp.logical_and(tail_m, col >= (bs - 1) * co)
 
     acc = None
     for dy in range(kY):
@@ -268,15 +275,11 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                 preferred_element_type=jnp.float32)
             if kz == 3:
                 p = jax.lax.dot_general(
-                    rows, wplus_ref[tap],
+                    rows, wrap_ref[tap],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                a = a + jnp.where(head_m, _roll_rows(p, 1), 0.0)
-                q = jax.lax.dot_general(
-                    rows, wminus_ref[tap],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                a = a + jnp.where(tail_m, _roll_rows(q, RX - 1), 0.0)
+                a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
+                a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
             part = a if part is None else part + a
         if kY > 1:
             # index_map clamps out-of-range y slabs; zero their taps.
@@ -341,8 +344,8 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
     ops.append(band.astype(dt))
     in_specs.append(w_spec)
     if kz == 3:
-        ops += [wplus.astype(dt), wminus.astype(dt)]
-        in_specs += [w_spec, w_spec]
+        ops.append((wplus + wminus).astype(dt))
+        in_specs.append(w_spec)
 
     kern = functools.partial(
         _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
