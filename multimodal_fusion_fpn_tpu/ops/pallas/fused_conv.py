@@ -495,12 +495,20 @@ def _fused_bwd(cfg, res, g):
     use_pallas = (impl == "pallas" or
                   (impl == "auto" and jax.default_backend() == "tpu"))
     dband = None
+    dwplus_k = dwminus_k = None
     if use_pallas:
-        # all taps in one accumulating kernel: t recomputed in-VMEM,
-        # each slab read once (the XLA loop re-reads the shifted
-        # operands per tap — measured 5.3 ms vs ~1.5 per s1 conv).
-        dband = _dband_pallas(list(xs), list(scales), list(biases), g,
-                              kY, kX, X, nb, bs, relu).astype(band.dtype)
+        # all taps (band + both wrap cotangents) in one accumulating
+        # kernel: t recomputed in-VMEM, each slab read once (the XLA
+        # loop re-reads the shifted operands per tap — measured 5.3 ms
+        # band + 5.2 ms narrow-wrap per s1 conv vs ~3 total here).
+        res_k = _dband_pallas(list(xs), list(scales), list(biases), g,
+                              kY, kX, X, nb, bs, relu,
+                              want_wrap=(wplus is not None))
+        if wplus is not None:
+            dband, dwplus_k, dwminus_k = res_k
+        else:
+            dband = res_k
+        dband = dband.astype(band.dtype)
     dband_l = []
     dwp = []
     dwm = []
@@ -510,7 +518,7 @@ def _fused_bwd(cfg, res, g):
             ox = (dx - kX // 2) * nbp
             if not use_pallas:
                 dband_l.append(shifted_dot(t, gm, oy, ox))
-            if wplus is not None:
+            if wplus is not None and not use_pallas:
                 # fwd: out[r] += head_m[r] * (rows @ wplus)[r-1]
                 #   => dwplus = sum_r rows[r]^T hg[r+1].  The wrap
                 # matrices have ONE nonzero (row-slot, col-slot) pair —
@@ -532,10 +540,14 @@ def _fused_bwd(cfg, res, g):
                               (md * co, (bs - 1 - md) * co)]))
     if dband is None:
         dband = jnp.stack(dband_l).astype(band.dtype)
-    dwplus = jnp.stack(dwp).astype(band.dtype) if wplus is not None \
-        else None
-    dwminus = jnp.stack(dwm).astype(band.dtype) if wplus is not None \
-        else None
+    if wplus is None:
+        dwplus = dwminus = None
+    elif use_pallas:
+        dwplus = dwplus_k.astype(band.dtype)
+        dwminus = dwminus_k.astype(band.dtype)
+    else:
+        dwplus = jnp.stack(dwp).astype(band.dtype)
+        dwminus = jnp.stack(dwm).astype(band.dtype)
     return (tuple(dxs), tuple(dscales), tuple(dbiases),
             dband, dwplus, dwminus)
 
@@ -669,7 +681,8 @@ def interior_stats_slots(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
 # (T, CC, CCo) output across the sequential grid.
 
 def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
-                  X: int, nb: int, bs: int, relu: bool, Y: int):
+                  X: int, nb: int, bs: int, relu: bool, Y: int,
+                  want_wrap: bool):
     idx = 0
     x_refs = []
     for _ in range(n_in):
@@ -680,7 +693,10 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
         sb_refs.append((refs[idx], refs[idx + 1]))
         idx += 2
     g_ref = refs[idx]; idx += 1
-    out_ref = refs[idx]
+    out_ref = refs[idx]; idx += 1
+    if want_wrap:
+        wp_ref = refs[idx]; idx += 1
+        wm_ref = refs[idx]; idx += 1
 
     y = pl.program_id(1)
     step = pl.program_id(0) * pl.num_programs(1) + y
@@ -694,10 +710,20 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
         jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
 
     gm = jnp.where(interior, g_ref[0, 0], 0.0)
+    if want_wrap:
+        head_m = jnp.logical_and(interior, mrow != 0)
+        tail_m = jnp.logical_and(interior, mrow != nb - 1)
+        # fwd head term: out[r] += head_m[r]*(rows@Wplus)[r-1]
+        #   => dWplus = sum_r rows[r]^T (head_m*gm)[r+1]
+        hgr = _roll_rows(jnp.where(head_m, gm, 0.0), RX - 1)
+        tgr = _roll_rows(jnp.where(tail_m, gm, 0.0), 1)
 
     @pl.when(step == 0)
     def _():
         out_ref[...] = jnp.zeros_like(out_ref)
+        if want_wrap:
+            wp_ref[...] = jnp.zeros_like(wp_ref)
+            wm_ref[...] = jnp.zeros_like(wm_ref)
 
     for dy in range(kY):
         t = None
@@ -719,16 +745,27 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
             # wrap-around rows multiply against zero pad rows.
             rows = _roll_rows(t, (-(dx - kX // 2) * nbp) % RX) \
                 if kX == 3 else t
-            d = jax.lax.dot_general(
-                rows, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+            dn = (((0,), (0,)), ((), ()))
+            out_ref[tap] += jax.lax.dot_general(
+                rows, gm, dimension_numbers=dn,
                 preferred_element_type=jnp.float32)
-            out_ref[tap] += d
+            if want_wrap:
+                wp_ref[tap] += jax.lax.dot_general(
+                    rows, hgr, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                wm_ref[tap] += jax.lax.dot_general(
+                    rows, tgr, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
 
 
 def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
                   X: int, nb: int, bs: int, relu: bool,
-                  interpret: bool = False) -> jnp.ndarray:
-    """(kY*kX, CC, CCo) band cotangent via the accumulating kernel."""
+                  want_wrap: bool = False, interpret: bool = False):
+    """(kY*kX, CC, CCo) band cotangent via the accumulating kernel;
+    with ``want_wrap`` also the (full, unprojected) wplus/wminus
+    cotangents — the weight-expansion pullback outside the custom-VJP
+    boundary projects onto the structural entries, so full dense
+    cotangents are exactly correct."""
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
     CCo = g.shape[-1]
@@ -760,16 +797,21 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
                                  memory_space=pltpu.VMEM))
 
     kern = functools.partial(_dband_kernel, n_in=n_in, kY=kY, kX=kX,
-                             X=X, nb=nb, bs=bs, relu=relu, Y=Y)
+                             X=X, nb=nb, bs=bs, relu=relu, Y=Y,
+                             want_wrap=want_wrap)
     nt = kY * kX
-    return pl.pallas_call(
+    o_spec = pl.BlockSpec((nt, CC, CCo), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_shape = jax.ShapeDtypeStruct((nt, CC, CCo), jnp.float32)
+    n_out = 3 if want_wrap else 1
+    out = pl.pallas_call(
         kern,
         grid=(B, Y),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((nt, CC, CCo), lambda b, y: (0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nt, CC, CCo), jnp.float32),
+        out_specs=(o_spec,) * n_out if want_wrap else o_spec,
+        out_shape=(o_shape,) * n_out if want_wrap else o_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
     )(*ops)
+    return out
