@@ -588,12 +588,15 @@ class ZDimReduction(nn.Module):
     dtype: Any = jnp.float32
 
     def _fused_bs(self, x) -> Optional[int]:
-        # Measured on-chip: the strided fused cascade LOSES to the
-        # classic per-op path (bf16 proj fwd+bwd totals: classic 63.4,
-        # all-fused 72.7, first-only+compact 102.9 ms — the slot-sparse
-        # full-width buffers make the backward pay full-size
-        # contractions).  Kept as opt-in infrastructure (MMF_FUSED_PROJ=1).
-        if _os.environ.get("MMF_FUSED_PROJ", "0") != "1":
+        # Measured on-chip (with the dband/wrap backward kernels): the
+        # fused cascade wins for num_reductions <= 3 (s2: 20.3 vs 21.6,
+        # s3: 11.1 vs 13.6 ms fwd+bwd) but loses at zdimRed1's 4-deep
+        # cascade (27.8 vs 20.7 — three slot-sparse full-width levels).
+        # Default: fused for n <= 3; MMF_FUSED_PROJ=1/0 forces all/none.
+        force = _os.environ.get("MMF_FUSED_PROJ", "")
+        if force == "0":
+            return None
+        if force != "1" and self.num_reductions > 3:
             return None
         if not _fused_active() or x.ndim != 5:
             return None
