@@ -518,7 +518,8 @@ class _FusedReduction(nn.Module):
         co = self.features
         dt = self.dtype
         n = self.n
-        r_fused = min(n, bs.bit_length() - 1)
+        cap = int(_os.environ.get("MMF_FUSED_PROJ_CAP", "99"))
+        r_fused = min(n, bs.bit_length() - 1, cap)
 
         x = x.astype(dt)
         xp = pack(x, bs)
