@@ -114,7 +114,7 @@ def compute_metrics(all_outputs, output, batch, metrics_val, results,
         try:
             imsave(os.path.join(sample_output_path, "features.png"),
                    (255 * (combined - combined.min())
-                    / (combined.ptp() + 1e-8)).astype(np.uint8))
+                    / (np.ptp(combined) + 1e-8)).astype(np.uint8))
         except ValueError:
             print("Error saving features", combined.shape)
 
