@@ -431,35 +431,47 @@ def _fused_bwd(cfg, res, g):
     interior_m, head_m, tail_m = to(interior), to(head), to(tail)
 
     gm = (g * interior_m).astype(dt_)
+    use_pallas = (impl == "pallas" or
+                  (impl == "auto" and jax.default_backend() == "tpu"))
 
-    # d/dt via the transposed conv (same kernel form, flipped matrices)
     bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
-    cfgT = (kY, kX, X, nb, bs, False, pet_name, impl, wm_slots, wp_slots)
-    dt_full = _run_impl(cfgT, (gm,), (None,), (None,),
-                        bandT, wplusT, wminusT).astype(dt_)
-
-    # pre-activation recompute -> relu mask and input/affine cotangents
-    pre = None
-    for x, s, b in zip(xs, scales, biases):
-        term = x if s is None else x * s.astype(dt_)
-        if b is not None:
-            term = term + b.astype(dt_)
-        pre = term if pre is None else pre + term
-    if relu:
-        mask = (pre > 0).astype(dt_) * interior_m
+    if use_pallas:
+        # transposed conv + the whole input-side epilogue (relu mask,
+        # per-input scaling, affine-cotangent reductions) in one kernel.
+        dxs, dss, db_sum = _dx_pallas(
+            list(xs), list(scales), list(biases), g, bandT, wplusT,
+            wminusT, kY, kX, X, nb, bs, relu)
+        dscales = [None if s is None else dss[i]
+                   for i, s in enumerate(scales)]
+        dbiases = [None if b is None else db_sum for b in biases]
     else:
-        mask = interior_m
-    dtm = dt_full * mask
+        cfgT = (kY, kX, X, nb, bs, False, pet_name, impl,
+                wm_slots, wp_slots)
+        dt_full = _run_impl(cfgT, (gm,), (None,), (None,),
+                            bandT, wplusT, wminusT).astype(dt_)
 
-    dxs = []
-    dscales = []
-    dbiases = []
-    for x, s, b in zip(xs, scales, biases):
-        dxs.append(dtm if s is None else dtm * s.astype(dt_))
-        dscales.append(None if s is None
-                       else jnp.sum(dtm * x, axis=(0, 1, 2)))
-        dbiases.append(None if b is None
-                       else jnp.sum(dtm, axis=(0, 1, 2)))
+        # pre-activation recompute -> relu mask + affine cotangents
+        pre = None
+        for x, s, b in zip(xs, scales, biases):
+            term = x if s is None else x * s.astype(dt_)
+            if b is not None:
+                term = term + b.astype(dt_)
+            pre = term if pre is None else pre + term
+        if relu:
+            mask = (pre > 0).astype(dt_) * interior_m
+        else:
+            mask = interior_m
+        dtm = dt_full * mask
+
+        dxs = []
+        dscales = []
+        dbiases = []
+        for x, s, b in zip(xs, scales, biases):
+            dxs.append(dtm if s is None else dtm * s.astype(dt_))
+            dscales.append(None if s is None
+                           else jnp.sum(dtm * x, axis=(0, 1, 2)))
+            dbiases.append(None if b is None
+                           else jnp.sum(dtm, axis=(0, 1, 2)))
 
     # Matrix cotangents: full-M contractions per tap, expressed with
     # OFFSET SLICES of t / gm (never materialized rolls — XLA fuses the
@@ -468,8 +480,9 @@ def _fused_bwd(cfg, res, g):
     # bs-1) for wminus — so their cotangents only need a NARROW (ci, co)
     # dot each, padded back to dense shape (the einsum pullback outside
     # the boundary projects onto those entries anyway).
-    t = jnp.maximum(pre, 0.0) if relu else pre
-    t = t * interior_m
+    if not use_pallas:
+        t = jnp.maximum(pre, 0.0) if relu else pre
+        t = t * interior_m
     CC = xs[0].shape[-1]
     ci = CC // bs
     CCo = g.shape[-1]
@@ -492,8 +505,6 @@ def _fused_bwd(cfg, res, g):
 
     hg = head_m * gm if wplus is not None else None
     tg = tail_m * gm if wplus is not None else None
-    use_pallas = (impl == "pallas" or
-                  (impl == "auto" and jax.default_backend() == "tpu"))
     dband = None
     dwplus_k = dwminus_k = None
     if use_pallas:
@@ -815,3 +826,185 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
         interpret=interpret,
     )(*ops)
     return out
+
+
+# --------------------------------------------------------------------------
+# Pallas dx kernel — transposed conv + the whole input-side epilogue
+# --------------------------------------------------------------------------
+#
+# The input cotangent chain is  dt = conv_T(g);  dtm = dt * relu_mask;
+# dx_i = dtm * s_i;  ds_i = sum dtm * x_i;  db_i = sum dtm.  Running the
+# epilogue in XLA costs ~4-5 full-buffer passes per conv; this kernel
+# computes the transposed conv (same dot/roll structure, flipped
+# matrices from _mats_T) and the epilogue on resident slabs, emitting
+# the SCALED per-input cotangents plus the (1, CC) affine-cotangent
+# accumulators in one invocation.
+
+def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
+               X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype):
+    # operands: per fwd-input i: 1 center slab; then per i: scale, bias;
+    # g: kY slabs; bandT [, wrapT]; outputs: n_in dx slabs, n_in ds
+    # accumulators, 1 db accumulator.
+    idx = 0
+    x_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    g_refs = [refs[idx + d] for d in range(kY)]
+    idx += kY
+    band_ref = refs[idx]; idx += 1
+    if kz == 3:
+        wrap_ref = refs[idx]; idx += 1
+    dx_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    ds_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    db_ref = refs[idx]
+
+    y = pl.program_id(1)
+    step = pl.program_id(0) * pl.num_programs(1) + y
+    nbp = _nbp(nb)
+    RX = (X + 2) * nbp
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    xcol = rows_i // nbp - 1
+    mrow = jax.lax.rem(rows_i, nbp)
+    interior = jnp.logical_and(
+        jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
+    head_m = jnp.logical_and(interior, mrow != 0)
+    tail_m = jnp.logical_and(interior, mrow != nb - 1)
+    if kz == 3:
+        CCg = g_refs[0].shape[-1]
+        cog = CCg // bs
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (RX, band_ref.shape[-1]), 1)
+        co_out = band_ref.shape[-1] // bs
+        head_cols = jnp.logical_and(head_m, col < co_out)
+        tail_cols = jnp.logical_and(tail_m, col >= (bs - 1) * co_out)
+
+    @pl.when(step == 0)
+    def _():
+        for i in range(n_in):
+            ds_refs[i][...] = jnp.zeros_like(ds_refs[i])
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dt = None
+    for dy in range(kY):
+        gv = jnp.where(interior, g_refs[dy][0, 0], 0.0)
+        if kY > 1:
+            yy = y + dy - kY // 2
+            vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
+            gv = gv * vmask.astype(gv.dtype)
+        part = None
+        for dx in range(kX):
+            tap = dy * kX + dx
+            rows = _roll_rows(gv, ((1 - dx) * nbp) % RX) \
+                if kX == 3 else gv
+            a = jax.lax.dot_general(
+                rows, band_ref[tap],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if kz == 3:
+                p = jax.lax.dot_general(
+                    rows, wrap_ref[tap],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
+                a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+            part = a if part is None else part + a
+        dt = part if dt is None else dt + part
+
+    # epilogue: relu mask from the recomputed pre-activation
+    if relu:
+        pre = None
+        for i in range(n_in):
+            s_ref, b_ref = sb_refs[i]
+            term = x_refs[i][0, 0] * s_ref[:] + b_ref[:]
+            pre = term if pre is None else pre + term
+        mask = jnp.logical_and(pre > 0, interior)
+    else:
+        mask = interior
+    dtm = jnp.where(mask, dt, 0.0)
+
+    db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)
+    for i in range(n_in):
+        s_ref, _ = sb_refs[i]
+        dx_refs[i][0, 0] = (dtm * s_ref[:].astype(jnp.float32)).astype(
+            out_dtype)
+        ds_refs[i][...] += jnp.sum(
+            dtm * x_refs[i][0, 0].astype(jnp.float32), axis=0,
+            keepdims=True)
+
+
+def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
+               kY: int, kX: int, X: int, nb: int, bs: int, relu: bool,
+               interpret: bool = False):
+    """Transposed conv + epilogue: returns ([dx_i...], [ds_i...], db)
+    with dx_i ALREADY scaled by s_i, ds/db as (CC,) fp32 sums."""
+    n_in = len(xs)
+    B, Y, RX, CC = xs[0].shape
+    CCg = g.shape[-1]
+    dt = xs[0].dtype
+    kz = 3 if wplusT is not None else 1
+
+    ops = []
+    in_specs = []
+    for i in range(n_in):
+        ops.append(xs[i])
+        in_specs.append(pl.BlockSpec((1, 1, RX, CC),
+                                     lambda b, y: (b, y, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for i in range(n_in):
+        s = scales[i]
+        b = biases[i]
+        ops.append(jnp.ones((1, CC), dt) if s is None
+                   else s.astype(dt).reshape(1, CC))
+        ops.append(jnp.zeros((1, CC), dt) if b is None
+                   else b.astype(dt).reshape(1, CC))
+        in_specs += [pl.BlockSpec((1, CC), lambda b, y: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    for dy in range(kY):
+        off = dy - kY // 2
+        ops.append(g.astype(dt))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, RX, CCg),
+            lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1), 0, 0),
+            memory_space=pltpu.VMEM))
+
+    nt = bandT.shape[0]
+    w_spec = pl.BlockSpec((nt, CCg, CC), lambda b, y: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ops.append(bandT.astype(dt))
+    in_specs.append(w_spec)
+    if kz == 3:
+        ops.append((wplusT + wminusT).astype(dt))
+        in_specs.append(w_spec)
+
+    kern = functools.partial(
+        _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
+        relu=relu, Y=Y, out_dtype=dt)
+
+    slab_spec = pl.BlockSpec((1, 1, RX, CC), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, CC), lambda b, y: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = ([slab_spec] * n_in + [acc_spec] * n_in + [acc_spec])
+    out_shapes = ([jax.ShapeDtypeStruct((B, Y, RX, CC), dt)] * n_in
+                  + [jax.ShapeDtypeStruct((1, CC), jnp.float32)]
+                  * (n_in + 1))
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Y),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(*ops)
+    dxs = list(out[:n_in])
+    dss = [o.reshape(-1) for o in out[n_in:2 * n_in]]
+    db = out[-1].reshape(-1)
+    return dxs, dss, db
