@@ -597,6 +597,10 @@ class ZDimReduction(nn.Module):
         force = _os.environ.get("MMF_FUSED_PROJ", "")
         if force == "0":
             return None
+        if int(_os.environ.get("MMF_FUSED_PROJ_CAP", "99")) <= 0:
+            # cap=0 means "no fused levels" — the classic per-op path is
+            # the same thing without _FusedReduction's empty-loop edge.
+            return None
         if force != "1" and self.num_reductions > 3:
             return None
         if not _fused_active() or x.ndim != 5:

@@ -23,7 +23,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from multimodal_fusion_fpn_tpu.metrics.device import bce_scalar, dice_per_sample
 from multimodal_fusion_fpn_tpu.train.state import TrainState
@@ -114,7 +114,7 @@ def make_dp_train_step(model, tx, criterion, mesh: Mesh,
                   batch_spec, replicated),
         out_specs=(replicated, replicated, replicated, replicated,
                    replicated),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step_fn(state: TrainState, batch, rng):

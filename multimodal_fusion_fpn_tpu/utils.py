@@ -92,21 +92,48 @@ def device_prefetch(iterator, depth: int = 2, transfer=None):
     transfer = transfer or tree_to_device
     q: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
     _end = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that gives up when the consumer abandons the
+        # generator (exception in the loop body / GeneratorExit): a
+        # plain q.put would block forever, keeping depth+1 transferred
+        # batches pinned in device memory for the rest of the process.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(transfer(item))
+                if not _put(transfer(item)):
+                    return
+                if stop.is_set():
+                    return
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(exc)
+            _put(exc)
             return
-        q.put(_end)
+        _put(_end)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _end:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        # Drain so the worker's in-flight put unblocks promptly and the
+        # staged device buffers are released.
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass

@@ -35,6 +35,51 @@ def test_device_prefetch_propagates_errors():
         list(it)
 
 
+def test_device_prefetch_worker_exits_on_abandon():
+    """Abandoning the generator early (exception in the consumer loop,
+    GC) must release the worker thread instead of leaving it blocked on
+    a bounded q.put with transferred batches pinned in device memory."""
+    import threading
+    import time
+
+    from multimodal_fusion_fpn_tpu.utils import device_prefetch
+
+    produced = []
+
+    def gen():
+        for i in range(100):
+            produced.append(i)
+            yield {"x": np.full(2, i, np.float32)}
+
+    before = threading.active_count()
+    it = device_prefetch(gen(), depth=1)
+    next(it)
+    it.close()  # consumer abandons the generator
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, \
+        "prefetch worker thread still alive after generator close"
+    assert len(produced) < 100  # worker stopped early, didn't drain all
+
+
+def test_zdim_reduction_proj_cap_zero(monkeypatch):
+    """MMF_FUSED_PROJ_CAP=0 must fall back to the classic per-op path
+    (ADVICE r2: _FusedReduction crashed at trace time with cap=0)."""
+    from multimodal_fusion_fpn_tpu.models import blocks
+
+    monkeypatch.setenv("MMF_FUSED_PROJ_CAP", "0")
+    monkeypatch.setenv("MMF_FUSED_PROJ", "1")  # even when forced on
+    mod = blocks.ZDimReduction(features=4, num_reductions=2,
+                               final_kernel=4)
+    x = np.random.default_rng(0).normal(size=(1, 2, 8, 16, 2)).astype(
+        np.float32)
+    assert mod._fused_bs(jax.numpy.asarray(x)) is None
+    vs = mod.init(jax.random.PRNGKey(0), x, train=False)
+    y = mod.apply(vs, x, train=False)
+    assert np.all(np.isfinite(np.asarray(y)))
+
+
 def test_late_fusion_emits_out_features():
     from multimodal_fusion_fpn_tpu.config import make_config
     from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
