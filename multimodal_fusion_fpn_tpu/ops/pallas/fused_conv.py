@@ -15,14 +15,15 @@ BatchNorm statistics and their autodiff stay in XLA-land: the caller
 computes per-channel mean/var of ``y_raw`` (one fused reduction read)
 and folds them into the next conv's ``(s, b)``.
 
-Layout — "padded thick rows" carried BETWEEN kernels so no repacking or
-re-padding pass exists inside a chain:
+Layout — PADLESS "thick rows" carried BETWEEN kernels (round 3: the
+pad rows were dropped; pack/unpack are now free reshape views and the
+kernels carry the boundary logic in per-tap row masks):
 
-    xp: (B, Y, RX, C)   with  RX = (X + 2) * nbp,  C = bs * ci
-        rows ordered (x, m): row r = (x + 1) * nbp + m holds z-block m
-        of en-face column x; nbp = ceil(nb/8)*8 (sublane alignment);
-        the first/last nbp rows (x = -1, x = X) and z-blocks m >= nb
-        are pad and ALWAYS ZERO in raw buffers.
+    xp: (B, Y, RX, C)   with  RX = X * nb,  C = bs * ci
+        rows ordered (x, m): row r = x * nb + m holds z-block m of
+        en-face column x.  The X-neighbor offset is a uniform ±nb; a
+        roll by ±nb wraps real rows from the opposite X edge, so each
+        X tap masks its boundary group (first/last nb rows).
 
 The z (innermost, blocked) taps use a band+wrap decomposition: `band`
 holds the in-block taps as a (bs*ci, bs*co) banded matrix, `wplus` /
@@ -50,29 +51,26 @@ from jax.experimental.pallas import tpu as pltpu
 # Layout adapters
 # --------------------------------------------------------------------------
 
-def _nbp(nb: int) -> int:
-    return -(-nb // 8) * 8
-
-
 def pack(x: jnp.ndarray, bs: int) -> jnp.ndarray:
-    """(B, Y, X, Z, C) -> padded thick rows (B, Y, (X+2)*nbp, bs*C)."""
+    """(B, Y, X, Z, C) -> PADLESS thick rows (B, Y, X*nb, bs*C).
+
+    Round 3: the layout dropped its pad rows (X-halo + nb->8 rounding).
+    With rows = X*nb the X-neighbor offset is a uniform ±nb, boundary
+    correctness moves from zero pads into per-tap row masks inside the
+    kernels, and pack/unpack become FREE reshape views — the padded
+    layout paid 2.8/7.1 ms per XLA pack/unpack copy (plus the same in
+    every VJP) at stage-1 sizes, ~20 ms/step in all."""
     B, Y, X, Z, C = x.shape
     nb = Z // bs
     assert nb * bs == Z, (Z, bs)
-    nbp = _nbp(nb)
-    xt = x.reshape(B, Y, X, nb, bs * C)
-    xt = jnp.pad(xt, [(0, 0), (0, 0), (1, 1), (0, nbp - nb), (0, 0)])
-    return xt.reshape(B, Y, (X + 2) * nbp, bs * C)
+    return x.reshape(B, Y, X * nb, bs * C)
 
 
 def unpack(xp: jnp.ndarray, X: int, nb: int, bs: int) -> jnp.ndarray:
-    """Inverse of :func:`pack` -> (B, Y, X, Z, C)."""
+    """Inverse of :func:`pack` -> (B, Y, X, Z, C) (a free reshape)."""
     B, Y, RX, CC = xp.shape
-    nbp = _nbp(nb)
     co = CC // bs
-    xt = xp.reshape(B, Y, X + 2, nbp, bs, co)
-    xt = xt[:, :, 1:-1, :nb]
-    return xt.reshape(B, Y, X, nb * bs, co)
+    return xp.reshape(B, Y, X, nb * bs, co)
 
 
 def _band_wrap_matrices(w: jnp.ndarray, bs: int):
@@ -114,21 +112,27 @@ def _flip_tr(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(jnp.flip(w, axis=(0, 1, 2)), -1, -2)
 
 
-def _np_masks(RX: int, X: int, nb: int, nbp: int):
+def _np_masks(RX: int, X: int, nb: int):
+    """Row masks for the padless layout (row r = x*nb + m).
+
+    head/tail: rows that receive the z-wrap roll(+1)/roll(-1)
+    contributions (m != 0 / m != nb-1 — a roll crossing an X-group
+    boundary is never valid).  maskL/maskR: rows whose x-1 / x+1
+    neighbor exists (the first/last nb rows are the x boundaries)."""
     r = np.arange(RX)
-    x = r // nbp - 1
-    m = r % nbp
-    interior = (x >= 0) & (x < X) & (m < nb)
-    head = interior & (m != 0)       # receives roll(+1) contributions
-    tail = interior & (m != nb - 1)  # receives roll(-1) contributions
-    return interior, head, tail
+    m = r % nb
+    head = m != 0
+    tail = m != nb - 1
+    maskL = r >= nb
+    maskR = r < RX - nb
+    return head, tail, maskL, maskR
 
 
 # --------------------------------------------------------------------------
 # Reference (XLA) implementation — also the CPU/test path
 # --------------------------------------------------------------------------
 
-def _affine_t(xs, scales, biases, relu, interior_m):
+def _affine_t(xs, scales, biases, relu):
     t = None
     for x, s, b in zip(xs, scales, biases):
         term = x if s is None else x * s.astype(x.dtype)
@@ -137,7 +141,7 @@ def _affine_t(xs, scales, biases, relu, interior_m):
         t = term if t is None else t + term
     if relu:
         t = jnp.maximum(t, 0.0)
-    return t * interior_m
+    return t
 
 
 def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
@@ -146,13 +150,14 @@ def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
     """Pure-XLA fused conv on band/wrap matrices (the autodiff-closed
     form used by the custom-VJP boundary and on CPU)."""
     B, Y, RX, CC = xs[0].shape
-    nbp = _nbp(nb)
-    interior, head, tail = _np_masks(RX, X, nb, nbp)
-    dt = xs[0].dtype
-    to = lambda a: jnp.asarray(a[:, None], dt)
-    interior_m, head_m, tail_m = to(interior), to(head), to(tail)
+    head, tail, maskL, maskR = _np_masks(RX, X, nb)
+    to = lambda a: jnp.asarray(a[:, None], jnp.float32)
+    head_m, tail_m = to(head), to(tail)
+    # per-tap X-boundary validity of the rolled source rows (the padded
+    # layout got this for free from zero pad rows)
+    tap_m = {0: to(maskL), 1: None, 2: to(maskR)}
 
-    t = _affine_t(xs, scales, biases, relu, interior_m)
+    t = _affine_t(xs, scales, biases, relu)
     py = kY // 2
     tp = jnp.pad(t, [(0, 0), (py, py), (0, 0), (0, 0)])
 
@@ -161,9 +166,8 @@ def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
         rows_y = lax.slice_in_dim(tp, dy, dy + Y, axis=1)
         for dx in range(kX):
             tap = dy * kX + dx
-            # out row r reads t row r + (dx-1)*nbp; pads are zero so the
-            # wrap-around rows of jnp.roll contribute nothing.
-            rows = jnp.roll(rows_y, (1 - dx) * nbp, axis=2) \
+            # out row r reads t row r + (dx-1)*nb
+            rows = jnp.roll(rows_y, (1 - dx) * nb, axis=2) \
                 if kX == 3 else rows_y
             acc = lax.dot_general(
                 rows, band[tap],
@@ -180,8 +184,10 @@ def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
                     dimension_numbers=(((3,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 acc = acc + jnp.roll(q, -1, axis=2) * tail_m
+            if kX == 3 and tap_m[dx] is not None:
+                # the band term and the wraps share one source x-group
+                acc = acc * tap_m[dx]
             out = acc if out is None else out + acc
-    out = out * to(interior)
     return out.astype(preferred_element_type)
 
 
@@ -189,7 +195,7 @@ def fused_conv_ref(xs: Sequence[jnp.ndarray], scales, biases,
                    w: jnp.ndarray, X: int, nb: int, bs: int,
                    relu: bool = True,
                    preferred_element_type=jnp.float32) -> jnp.ndarray:
-    """Pure-XLA reference of the fused op on the padded thick layout.
+    """Pure-XLA reference of the fused op on the thick layout.
 
     xs: 1-2 arrays (B, Y, RX, bs*ci); scales/biases: per-input
     (bs*ci,) vectors or None (identity / zero).  Returns the raw conv
@@ -234,16 +240,15 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     out_ref = refs[idx]
 
     y = pl.program_id(1)
-    nbp = _nbp(nb)
-    RX = (X + 2) * nbp
+    RX = X * nb
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
-    xcol = rows_i // nbp - 1
-    mrow = jax.lax.rem(rows_i, nbp)
-    interior = jnp.logical_and(
-        jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
-    head_m = jnp.logical_and(interior, mrow != 0)
-    tail_m = jnp.logical_and(interior, mrow != nb - 1)
+    mrow = jax.lax.rem(rows_i, nb)
+    head_m = mrow != 0
+    tail_m = mrow != nb - 1
+    # per-tap X-boundary masks (padless layout: a roll by ±nb wraps
+    # real rows from the opposite X edge — mask the boundary group)
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
     if kz == 3:
         # wplus writes only col-block 0, wminus only col-block bs-1 —
         # one combined dot, contributions separated by column masks.
@@ -263,11 +268,10 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             t = term if t is None else t + term
         if relu:
             t = jnp.maximum(t, 0.0)
-        t = jnp.where(interior, t, 0.0)
         part = None
         for dx in range(kX):
             tap = dy * kX + dx
-            rows = _roll_rows(t, ((1 - dx) * nbp) % RX) \
+            rows = _roll_rows(t, ((1 - dx) * nb) % RX) \
                 if kX == 3 else t
             a = jax.lax.dot_general(
                 rows, band_ref[tap],
@@ -280,6 +284,9 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                     preferred_element_type=jnp.float32)
                 a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
                 a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+            if kX == 3 and tap_row_m[dx] is not None:
+                # band + wraps of one tap share the source x-group
+                a = jnp.where(tap_row_m[dx], a, 0.0)
             part = a if part is None else part + a
         if kY > 1:
             # index_map clamps out-of-range y slabs; zero their taps.
@@ -288,7 +295,6 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             part = part * vmask
         acc = part if acc is None else acc + part
 
-    acc = jnp.where(interior, acc, 0.0)
     out_ref[0, 0] = acc.astype(out_dtype)
 
 
@@ -310,11 +316,10 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
                             interpret: bool = False) -> jnp.ndarray:
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
-    nbp = _nbp(nb)
     ci = CC // bs
     co = band.shape[-1] // bs
     kz = 3 if wplus is not None else 1
-    assert RX == (X + 2) * nbp, (xs[0].shape, X, nbp)
+    assert RX == X * nb, (xs[0].shape, X, nb)
     dt = xs[0].dtype
 
     ops = []
@@ -427,29 +432,17 @@ def _fused_fwd(cfg, xs, scales, biases, band, wplus, wminus):
     return y, (xs, scales, biases, band, wplus, wminus)
 
 
-def _taps_rows(t, kY, kX, Y, nbp):
-    py = kY // 2
-    tp = jnp.pad(t, [(0, 0), (py, py), (0, 0), (0, 0)]) if py else t
-    for dy in range(kY):
-        rows_y = lax.slice_in_dim(tp, dy, dy + Y, axis=1) if py else tp
-        for dx in range(kX):
-            rows = jnp.roll(rows_y, (1 - dx) * nbp, axis=2) \
-                if kX == 3 else rows_y
-            yield dy * kX + dx, rows
-
-
 def _fused_bwd(cfg, res, g):
     kY, kX, X, nb, bs, relu, pet_name, impl, wp_slots, wm_slots = cfg
     xs, scales, biases, band, wplus, wminus = res
     B, Y, RX, CC = xs[0].shape
-    nbp = _nbp(nb)
     dt_ = xs[0].dtype
 
-    interior, head, tail = _np_masks(RX, X, nb, nbp)
+    head, tail, _, _ = _np_masks(RX, X, nb)
     to = lambda a: jnp.asarray(a[:, None], dt_)
-    interior_m, head_m, tail_m = to(interior), to(head), to(tail)
+    head_m, tail_m = to(head), to(tail)
 
-    gm = (g * interior_m).astype(dt_)
+    gm = g.astype(dt_)
     use_pallas = _use_pallas_impl(impl)
 
     bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
@@ -480,10 +473,9 @@ def _fused_bwd(cfg, res, g):
                 term = term + b.astype(dt_)
             pre = term if pre is None else pre + term
         if relu:
-            mask = (pre > 0).astype(dt_) * interior_m
+            dtm = dt_full * (pre > 0).astype(dt_)
         else:
-            mask = interior_m
-        dtm = dt_full * mask
+            dtm = dt_full
 
         dxs = []
         dscales = []
@@ -504,7 +496,6 @@ def _fused_bwd(cfg, res, g):
     # the boundary projects onto those entries anyway).
     if not use_pallas:
         t = jnp.maximum(pre, 0.0) if relu else pre
-        t = t * interior_m
     CC = xs[0].shape[-1]
     ci = CC // bs
     CCo = g.shape[-1]
@@ -549,7 +540,7 @@ def _fused_bwd(cfg, res, g):
     for dy in range(kY):
         for dx in range(kX):
             oy = dy - kY // 2
-            ox = (dx - kX // 2) * nbp
+            ox = (dx - kX // 2) * nb
             if not use_pallas:
                 dband_l.append(shifted_dot(t, gm, oy, ox))
             if wplus is not None and not use_pallas:
@@ -592,7 +583,7 @@ _fused_op.defvjp(_fused_fwd, _fused_bwd)
 def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
                relu: bool = True, preferred_element_type=jnp.float32,
                impl: str = "auto") -> jnp.ndarray:
-    """Differentiable fused affine+ReLU+conv on the padded thick layout.
+    """Differentiable fused affine+ReLU+conv on the thick layout.
 
     ``impl``: 'pallas' (TPU kernel), 'ref' (pure XLA), 'auto' (pallas on
     TPU backends, ref elsewhere).
@@ -608,11 +599,8 @@ def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
 
 def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
                    n_batch: int, n_y: int):
-    """Per-logical-channel (mean, var) of a raw padded-layout output.
-
-    Pad rows are exactly zero, so plain sums ARE the interior sums; only
-    the divisor uses the true element count.
-    """
+    """Per-logical-channel (mean, var) of a raw thick-layout output
+    (padless: every row is real data, plain sums over everything)."""
     co = y_raw.shape[-1] // bs
     n = n_batch * n_y * X * nb * bs
     y2 = y_raw.astype(jnp.float32).reshape(-1, bs, co)
@@ -681,11 +669,28 @@ def unpack_slots(xp: jnp.ndarray, X: int, nb: int, bs: int,
                  valid: int) -> jnp.ndarray:
     """Compact a slot-sparse thick buffer to (B, Y, X, nb*valid, C)."""
     B, Y, RX, CC = xp.shape
-    nbp = _nbp(nb)
     co = CC // bs
-    xt = xp.reshape(B, Y, X + 2, nbp, bs, co)
-    xt = xt[:, :, 1:-1, :nb, :valid]
+    xt = xp.reshape(B, Y, RX, bs, co)[:, :, :, :valid]
     return xt.reshape(B, Y, X, nb * valid, co)
+
+
+def merge_slots(xp: jnp.ndarray, X: int, nb: int, bs: int,
+                valid: int) -> jnp.ndarray:
+    """Re-densify a slot-sparse thick buffer by merging block PAIRS:
+    (nb blocks, ``valid`` of ``bs`` slots live) -> (nb//2 blocks,
+    2*valid dense slots).  Requires nb even.  z order is preserved:
+    z' = m*valid + j  ->  block m//2, slot (m%2)*valid + j.
+
+    One sliced copy of the LIVE data (half the buffer when
+    valid = bs/2) + free reshapes — this is what keeps the strided
+    projection cascade's later levels dense instead of paying
+    full-width dots on slot-sparse buffers (the round-2 measured loss
+    of the all-fused cascade, PERF.md)."""
+    assert nb % 2 == 0, nb
+    B, Y, RX, CC = xp.shape
+    co = CC // bs
+    xt = xp.reshape(B, Y, RX, bs, co)[:, :, :, :valid]
+    return xt.reshape(B, Y, X * (nb // 2), 2 * valid * co)
 
 
 def interior_stats_slots(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
@@ -734,19 +739,18 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
 
     y = pl.program_id(1)
     step = pl.program_id(0) * pl.num_programs(1) + y
-    nbp = _nbp(nb)
-    RX = (X + 2) * nbp
+    RX = X * nb
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
-    xcol = rows_i // nbp - 1
-    mrow = jax.lax.rem(rows_i, nbp)
-    interior = jnp.logical_and(
-        jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
+    mrow = jax.lax.rem(rows_i, nb)
+    # per-tap X-boundary masks for the padless layout (a roll by ±nb
+    # wraps real rows from the opposite X edge)
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
 
-    gm = jnp.where(interior, g_ref[0, 0], 0.0)
+    gm = g_ref[0, 0]
     if want_wrap:
-        head_m = jnp.logical_and(interior, mrow != 0)
-        tail_m = jnp.logical_and(interior, mrow != nb - 1)
+        head_m = mrow != 0
+        tail_m = mrow != nb - 1
         # fwd head term: out[r] += head_m[r]*(rows@Wplus)[r-1]
         #   => dWplus = sum_r rows[r]^T (head_m*gm)[r+1]
         hgr = _roll_rows(jnp.where(head_m, gm, 0.0), RX - 1)
@@ -768,17 +772,18 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
             t = term if t is None else t + term
         if relu:
             t = jnp.maximum(t, 0.0)
-        t = jnp.where(interior, t, 0.0)
         if kY > 1:
             yy = y + dy - kY // 2
             vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
             t = t * vmask.astype(t.dtype)
         for dx in range(kX):
             tap = dy * kX + dx
-            # dband[tap] = sum_r t[r + (dx-1)*nbp]^T gm[r]; the rolled
-            # wrap-around rows multiply against zero pad rows.
-            rows = _roll_rows(t, (-(dx - kX // 2) * nbp) % RX) \
+            # dband[tap] = sum_r t[r + (dx-1)*nb]^T gm[r]; rows whose
+            # source crossed the X boundary are masked per tap.
+            rows = _roll_rows(t, (-(dx - kX // 2) * nb) % RX) \
                 if kX == 3 else t
+            if kX == 3 and tap_row_m[dx] is not None:
+                rows = jnp.where(tap_row_m[dx], rows, 0.0)
             dn = (((0,), (0,)), ((), ()))
             out_ref[tap] += jax.lax.dot_general(
                 rows, gm, dimension_numbers=dn,
@@ -889,16 +894,14 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
 
     y = pl.program_id(1)
     step = pl.program_id(0) * pl.num_programs(1) + y
-    nbp = _nbp(nb)
-    RX = (X + 2) * nbp
+    RX = X * nb
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
-    xcol = rows_i // nbp - 1
-    mrow = jax.lax.rem(rows_i, nbp)
-    interior = jnp.logical_and(
-        jnp.logical_and(xcol >= 0, xcol < X), mrow < nb)
-    head_m = jnp.logical_and(interior, mrow != 0)
-    tail_m = jnp.logical_and(interior, mrow != nb - 1)
+    mrow = jax.lax.rem(rows_i, nb)
+    head_m = mrow != 0
+    tail_m = mrow != nb - 1
+    # per-tap X-boundary masks (padless layout)
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
     if kz == 3:
         col = jax.lax.broadcasted_iota(
             jnp.int32, (RX, band_ref.shape[-1]), 1)
@@ -924,7 +927,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
 
     dt = None
     for dy in range(kY):
-        gv = jnp.where(interior, g_refs[dy][0, 0], 0.0)
+        gv = g_refs[dy][0, 0]
         if kY > 1:
             yy = y + dy - kY // 2
             vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
@@ -932,7 +935,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         part = None
         for dx in range(kX):
             tap = dy * kX + dx
-            rows = _roll_rows(gv, ((1 - dx) * nbp) % RX) \
+            rows = _roll_rows(gv, ((1 - dx) * nb) % RX) \
                 if kX == 3 else gv
             a = jax.lax.dot_general(
                 rows, band_ref[tap],
@@ -945,6 +948,8 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                     preferred_element_type=jnp.float32)
                 a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
                 a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+            if kX == 3 and tap_row_m[dx] is not None:
+                a = jnp.where(tap_row_m[dx], a, 0.0)
             part = a if part is None else part + a
         dt = part if dt is None else dt + part
 
@@ -957,10 +962,9 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             pre = term if pre is None else pre + term
         # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
         # ("Target does not support this comparison"): compare in fp32.
-        mask = jnp.logical_and(pre.astype(jnp.float32) > 0, interior)
+        dtm = jnp.where(pre.astype(jnp.float32) > 0, dt, 0.0)
     else:
-        mask = interior
-    dtm = jnp.where(mask, dt, 0.0)
+        dtm = dt
 
     db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)
     for i in range(n_in):
