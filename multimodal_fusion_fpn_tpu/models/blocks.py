@@ -181,16 +181,22 @@ class _BNFold(nn.Module):
     """BatchNorm that RETURNS the folded affine (s, b) instead of
     applying it: y_norm = y * s + b with s = scale/sqrt(var+eps),
     b = bias - mean*s.  Parameter/collection layout is identical to
-    ``nn.BatchNorm`` (params scale/bias, batch_stats mean/var, same
-    momentum/epsilon/running-average update), so checkpoints are
-    interchangeable with the per-op path."""
+    the per-op ``TorchBatchNorm`` (params scale/bias, batch_stats
+    mean/var, same momentum/epsilon/running-average update), so
+    checkpoints are interchangeable with the per-op path.
+
+    ``n`` is the batch-element count behind ``var``: torch BatchNorm
+    (the reference's ``torch.nn.BatchNorm3d``) normalizes by the BIASED
+    batch variance but updates running_var with the UNBIASED one
+    (x n/(n-1)) — measured against the torch trajectory in
+    tests/test_training_dynamics.py."""
 
     features: int
     momentum: float = 0.9
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, mean, var, train: bool):
+    def __call__(self, mean, var, train: bool, n: Optional[int] = None):
         c = self.features
         scale = self.param("scale", bn_scale_init, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,),
@@ -204,13 +210,57 @@ class _BNFold(nn.Module):
         if train:
             if not self.is_initializing():
                 m = self.momentum
+                va = var if n is None or n <= 1 else var * (n / (n - 1))
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
-                ra_var.value = m * ra_var.value + (1 - m) * var
+                ra_var.value = m * ra_var.value + (1 - m) * va
             use_mean, use_var = mean, var
         else:
             use_mean, use_var = ra_mean.value, ra_var.value
         s = scale * jax.lax.rsqrt(use_var + self.epsilon)
         return s, bias - use_mean * s
+
+
+class TorchBatchNorm(nn.Module):
+    """Drop-in for ``nn.BatchNorm`` with torch running-stat semantics:
+    normalization uses the biased batch variance, the running_var EMA
+    uses the UNBIASED one (``torch.nn.BatchNorm{2,3}d`` default —
+    flax's BatchNorm uses biased for both, which drifts eval behavior
+    off any reference-trained net).  Same param/collection layout."""
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    scale_init: Any = nn.initializers.ones
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda *_: jnp.zeros((c,), jnp.float32),
+                                None)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda *_: jnp.ones((c,), jnp.float32),
+                               None)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(jnp.square(xf), axes) - jnp.square(mean)
+            n = x.size // c
+            if not self.is_initializing():
+                m = self.momentum
+                va = var if n <= 1 else var * (n / (n - 1))
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * va
+        s = scale * jax.lax.rsqrt(var + self.epsilon)
+        b = bias - mean * s
+        return x * s.astype(x.dtype) + b.astype(x.dtype)
 
 
 class ConvX(nn.Module):
@@ -278,7 +328,7 @@ class ConvX(nn.Module):
         """
         from multimodal_fusion_fpn_tpu.ops.banded import banded_conv
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
-            _nbp, _np_masks, fused_conv, interior_stats, pack)
+            fused_conv, interior_stats, pack)
         n = len(self.kernels)
         co = self.features
         dt = self.dtype
@@ -314,7 +364,8 @@ class ConvX(nn.Module):
 
         def bn(y_raw, name):
             mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
-            s, b = _BNFold(co, name=name)(mean, var, train)
+            s, b = _BNFold(co, name=name)(mean, var, train,
+                                          n=B * Y * X * nb * bs)
             return (jnp.tile(s, bs).astype(dt),
                     jnp.tile(b, bs).astype(dt))
 
@@ -343,10 +394,8 @@ class ConvX(nn.Module):
                 out = out + yd * sd + bd
             else:
                 out = out + xp
-        out = nn.relu(out)
-        RX = out.shape[2]
-        interior, _, _ = _np_masks(RX, X, nb, _nbp(nb))
-        return out * jnp.asarray(interior[:, None], out.dtype)
+        # padless layout: every row is real data, no interior re-mask
+        return nn.relu(out)
 
     @nn.compact
     def __call__(self, x, train: bool = False, packed_meta=None):
@@ -375,7 +424,7 @@ class ConvX(nn.Module):
                 name=f"conv{i}",
             )(out, blocked=blocked)
             if self.use_bn:
-                out = nn.BatchNorm(
+                out = TorchBatchNorm(
                     use_running_average=not train,
                     momentum=0.9, epsilon=1e-5,
                     scale_init=bn_scale_init,
@@ -400,7 +449,7 @@ class ConvX(nn.Module):
                     name="ds_conv",
                 )(x, blocked=blocked)
                 if self.use_bn:
-                    res = nn.BatchNorm(
+                    res = TorchBatchNorm(
                         use_running_average=not train,
                         momentum=0.9, epsilon=1e-5,
                         scale_init=bn_scale_init,
@@ -511,40 +560,60 @@ class _FusedReduction(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
-            fused_conv_strided, interior_stats_slots, pack, unpack_slots)
+            fused_conv_strided, interior_stats_slots, merge_slots, pack,
+            unpack_slots)
         B, Y, X, Z, ci0 = x.shape
         bs = self.bs
-        nb = Z // bs
         co = self.features
         dt = self.dtype
         n = self.n
         cap = int(_os.environ.get("MMF_FUSED_PROJ_CAP", "99"))
-        r_fused = min(n, bs.bit_length() - 1, cap)
+        # feasible fused depth: each level needs >= 2 live slots; a
+        # block-pair merge (below) resets the live count to bs, so
+        # even block counts extend the reach beyond log2(bs) levels.
+        r_possible, sim_nb, sim_valid = 0, Z // bs, bs
+        while r_possible < n and sim_valid >= 2:
+            sim_valid //= 2
+            if sim_valid == bs // 2 and sim_nb % 2 == 0:
+                sim_nb //= 2
+                sim_valid = bs
+            r_possible += 1
+        r_fused = min(r_possible, cap)
 
         x = x.astype(dt)
         xp = pack(x, bs)
 
-        def bn(y_raw, valid, name):
-            mean, var = interior_stats_slots(y_raw, X, nb, bs, valid,
+        def bn(y_raw, c_nb, valid, name):
+            mean, var = interior_stats_slots(y_raw, X, c_nb, bs, valid,
                                              B, Y)
-            s, b = _BNFold(co, name=name)(mean, var, train)
+            s, b = _BNFold(co, name=name)(mean, var, train,
+                                          n=B * Y * X * c_nb * valid)
             return (jnp.tile(s, bs).astype(dt),
                     jnp.tile(b, bs).astype(dt))
 
-        valid = bs
+        # After each stride-2 level the live slots halve; whenever the
+        # block count is even, merge block PAIRS back to dense full-slot
+        # blocks (merge_slots) so every later level's dots run on a
+        # half-size dense buffer instead of a slot-sparse full-width
+        # one (the round-2 measured loss of the all-fused cascade).
+        cur_nb, valid = Z // bs, bs
         cur, cur_s, cur_b = xp, None, None
         ci = ci0
         for i in range(r_fused):
             w = _ConvKernel((1, 1, 3, ci, co), name=f"conv{i}")()
             y = fused_conv_strided([cur], [cur_s], [cur_b], w.astype(dt),
-                                   X, nb, bs, valid_in=valid,
+                                   X, cur_nb, bs, valid_in=valid,
                                    relu=(i > 0),
                                    preferred_element_type=dt)
             valid //= 2
-            cur_s, cur_b = bn(y, valid, f"bn{i}")
+            if valid == bs // 2 and cur_nb % 2 == 0:
+                y = merge_slots(y, X, cur_nb, bs, valid)
+                cur_nb //= 2
+                valid = bs
+            cur_s, cur_b = bn(y, cur_nb, valid, f"bn{i}")
             cur, ci = y, co
 
-        y_small = unpack_slots(cur, X, nb, bs, valid)
+        y_small = unpack_slots(cur, X, cur_nb, bs, valid)
         last = y_small * cur_s[:co] + cur_b[:co]
         if r_fused < n:
             t = nn.relu(last)
@@ -555,10 +624,10 @@ class _FusedReduction(nn.Module):
                             kernel_init=conv_kernel_init,
                             bias_init=conv_bias_init_for_rank(3),
                             dtype=dt, name=f"conv{i}")(t)
-                t = nn.BatchNorm(use_running_average=not train,
-                                 momentum=0.9, epsilon=1e-5,
-                                 scale_init=bn_scale_init, dtype=dt,
-                                 name=f"bn{i}")(t)
+                t = TorchBatchNorm(use_running_average=not train,
+                                   momentum=0.9, epsilon=1e-5,
+                                   scale_init=bn_scale_init, dtype=dt,
+                                   name=f"bn{i}")(t)
                 if i < n - 1:
                     t = nn.relu(t)
             last = t
@@ -569,10 +638,10 @@ class _FusedReduction(nn.Module):
                       kernel_init=conv_kernel_init,
                       bias_init=conv_bias_init_for_rank(3),
                       dtype=dt, name="ds_conv")(x)
-        res = nn.BatchNorm(use_running_average=not train,
-                           momentum=0.9, epsilon=1e-5,
-                           scale_init=bn_scale_init, dtype=dt,
-                           name="ds_bn")(res)
+        res = TorchBatchNorm(use_running_average=not train,
+                             momentum=0.9, epsilon=1e-5,
+                             scale_init=bn_scale_init, dtype=dt,
+                             name="ds_bn")(res)
         return nn.relu(last + res)
 
 
@@ -608,10 +677,15 @@ class ZDimReduction(nn.Module):
         if not self.use_bn or self.dropout > 0.0 or self.features > 64:
             return None
         z = x.shape[3]
-        for bs in (8, 4, 2):
-            if z % bs == 0 and z > bs:
-                return bs
-        return None
+        # prefer bs*C = 128 (one MXU tile; band-dot FLOPs are linear in
+        # bs), then an EVEN block count (enables the block-pair merges
+        # that keep deeper cascade levels dense).
+        preferred = max(2, min(8, 128 // max(1, self.features)))
+        cands = [b for b in (8, 4, 2) if z % b == 0 and z > b]
+        if not cands:
+            return None
+        return min(cands, key=lambda b: (b != preferred,
+                                         (z // b) % 2, -b))
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -724,7 +798,13 @@ def maybe_remat(cls, flag: bool, train_argnum: int = 2):
 
 def max_pool(x, window: Sequence[int]):
     """VALID max pool over the spatial axes (floor semantics, like torch
-    ``MaxPool3d``/``MaxPool2d`` with default stride=kernel)."""
+    ``MaxPool3d``/``MaxPool2d`` with default stride=kernel).
+
+    Measured (v5e, bf16 stage-1 shapes): a reshape-max rewrite is ~equal
+    standalone but ~20 ms/step SLOWER in-graph (the 7D reshapes block
+    fusion on the lane-padded compact layout), so this stays
+    reduce_window; the real pool win is pooling in the PACKED layout
+    (pool_packed in the fused encoder integration)."""
     window = tuple(window)
     return nn.max_pool(x, window_shape=window, strides=window,
                        padding="VALID")

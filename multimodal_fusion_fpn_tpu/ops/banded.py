@@ -337,7 +337,8 @@ def _bcb_bwd(preferred_element_type, res, g):
         dw2 = lax.dot_general(
             sl, g2,
             dimension_numbers=((contract, contract), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.promote_types(sl.dtype,
+                                                     jnp.float32))
         dw2 = dw2.reshape(win, ci, bs, co)
         # dw[dz, i, o] = sum_{zz,j} dw2[zz, i, j, o] * band[zz, j, dz]
         dw_taps.append(jnp.einsum("zijo,zjd->dio", dw2,
