@@ -116,3 +116,69 @@ def test_space_axis_numeric_parity(tiny_spec):
             spec_str, dev.max(), dev_ctrl.max())
         assert dev.mean() <= 5.0 * dev_ctrl.mean() + 1e-8, (
             spec_str, dev.mean(), dev_ctrl.mean())
+
+
+@pytest.mark.slow
+def test_space_axis_parity_wide(tiny_spec):
+    """Wider net for halo bugs (VERDICT r2 weak #7): a non-power-of-two
+    width (X=48 — per-shard extents 24/12, odd global extents 3 after
+    the 4 strided pools) and a space=4 mesh (shard boundaries inside
+    every strided stage, deepest levels narrower than the mesh so GSPMD
+    must pad).  Same control-mesh calibration as the tiny-shape test."""
+    import jax.numpy as jnp
+    from multimodal_fusion_fpn_tpu.config import make_config
+    from multimodal_fusion_fpn_tpu.losses import Mix, bce_loss, dice_loss_joint
+    from multimodal_fusion_fpn_tpu.models.zoo import build_model
+    from multimodal_fusion_fpn_tpu.parallel.mesh import (
+        make_mesh, shard_batch, shard_state)
+    from multimodal_fusion_fpn_tpu.train.optim import sgd
+    from multimodal_fusion_fpn_tpu.train.state import create_train_state
+    from multimodal_fusion_fpn_tpu.train.step import make_train_step
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+
+    rng = np.random.default_rng(1)
+    B = 2
+    batch = {
+        "image": rng.normal(size=(B, 1, 8, 64, 48)).astype(np.float32),
+        "slo": rng.normal(size=(B, 1, 80, 1, 48)).astype(np.float32),
+        "mask": (rng.random((B, 1, 8, 1, 48)) > 0.7).astype(np.float32),
+    }
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo")
+    model = build_model(cfg, spec=tiny_spec, remat=False)
+    tx = sgd(0.1)
+    criterion = Mix({"d": dice_loss_joint(), "b": bce_loss()})
+    state0 = create_train_state(model, tx, jax.random.PRNGKey(0), batch)
+    state0 = jax.tree.map(np.asarray, state0)
+    step = make_train_step(model, tx, criterion, donate=False)
+
+    def run(mesh):
+        if mesh is None:
+            s, aux = step(jax.tree.map(jnp.asarray, state0), batch,
+                          jax.random.PRNGKey(1))
+        else:
+            s, aux = step(shard_state(state0, mesh),
+                          shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        return jax.tree.map(np.asarray, s.params), float(aux["loss"])
+
+    def flat_params(p):
+        return np.concatenate(
+            [np.asarray(x).ravel() for x in jax.tree.leaves(p)])
+
+    ref_params, ref_loss = run(None)
+    ref_flat = flat_params(ref_params)
+    ctrl_params, cl = run(make_mesh("data=2", jax.devices()[:2]))
+    np.testing.assert_allclose(cl, ref_loss, rtol=1e-5, err_msg="data=2")
+    dev_ctrl = np.abs(flat_params(ctrl_params) - ref_flat)
+
+    for spec_str, n in (("space=2", 2), ("space=4", 4)):
+        mesh = make_mesh(spec_str, jax.devices()[:n])
+        p, l = run(mesh)
+        np.testing.assert_allclose(l, ref_loss, rtol=1e-5, err_msg=spec_str)
+        dev = np.abs(flat_params(p) - ref_flat)
+        assert dev.max() <= 5.0 * dev_ctrl.max() + 1e-6, (
+            spec_str, dev.max(), dev_ctrl.max())
+        assert dev.mean() <= 5.0 * dev_ctrl.mean() + 1e-8, (
+            spec_str, dev.mean(), dev_ctrl.mean())
