@@ -164,6 +164,29 @@ def _fused_active() -> bool:
     return True
 
 
+def fused_stage_bs(z: int, features: int, use_bn: bool, dropout: float,
+                   ndim: int) -> Optional[int]:
+    """The fused-chain block size an EncoderStage will pick for a given
+    depth extent — or None when the stage runs the per-op path.  Shared
+    by the stage itself and by the packed-encoder plumbing (the caller
+    must predict whether a stage's output is packed and at which bs)."""
+    if not _fused_active():
+        return None
+    if ndim != 3 or features > 64:
+        return None
+    if not use_bn or dropout > 0.0:
+        return None
+    # Prefer bs*C = 128 (one MXU tile): band-dot FLOPs scale LINEARLY
+    # with bs, so the smallest full-lane block wins (measured bf16 fwd:
+    # s2 c32 bs8 4.9 -> bs4 3.8 ms; s3 c64 bs4 4.0 -> bs2 3.4 ms).
+    preferred = max(2, min(8, 128 // max(1, features)))
+    for bs in sorted({preferred, 8, 4, 2},
+                     key=lambda b: (b != preferred, -b)):
+        if z % bs == 0 and z > bs:
+            return bs
+    return None
+
+
 class _ConvKernel(nn.Module):
     """Parameter shell: declares the same 'kernel' param as TpuConv
     (same name, shape, init -> identical param tree and RNG folding), so
@@ -482,27 +505,26 @@ class EncoderStage(nn.Module):
     ndim: int = 3
     dtype: Any = jnp.float32
 
+    # When the INPUT is already a packed thick buffer, its (X, nb, bs)
+    # meta (module attribute: static by construction, so the call
+    # signature stays remat-compatible).  keep_packed returns the raw
+    # packed output; the caller recovers the meta via fused_stage_bs.
+    packed_in: Optional[Tuple[int, int, int]] = None
+    keep_packed: bool = False
+
     def _fused_eligible(self, x) -> Optional[int]:
         """The fused-chain lowering applies under the same conditions as
         the blocked fast path (3D, narrow channels, dividing z) plus
         BN-on / dropout-off (BN folding is what the fusion exploits)."""
-        if not _fused_active():
+        if self.packed_in is not None:
+            _, nb, bs_in = self.packed_in
+            z = nb * bs_in
+        elif x.ndim == 5:
+            z = x.shape[3]
+        else:
             return None
-        if self.ndim != 3 or x.ndim != 5 or self.features > 64:
-            return None
-        if not self.use_bn or self.dropout > 0.0:
-            return None
-        z = x.shape[3]
-        # Prefer bs*C = 128 (one MXU tile): band-dot FLOPs scale
-        # LINEARLY with bs, so the smallest full-lane block wins
-        # (measured bf16 fwd: s2 c32 bs8 4.9 -> bs4 3.8 ms; s3 c64
-        # bs4 4.0 -> bs2 3.4 ms per conv).
-        preferred = max(2, min(8, 128 // max(1, self.features)))
-        for bs in sorted({preferred, 8, 4, 2},
-                         key=lambda b: (b != preferred, -b)):
-            if z % bs == 0 and z > bs:
-                return bs
-        return None
+        return fused_stage_bs(z, self.features, self.use_bn,
+                              self.dropout, self.ndim)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -530,11 +552,28 @@ class EncoderStage(nn.Module):
         if bs is not None:
             from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
                 unpack)
-            B, Y, X, Z, _ = x.shape
-            nb = Z // bs
-            xp = block0(x, train, packed_meta=(X, nb, bs, False))
+            from multimodal_fusion_fpn_tpu.ops.pallas.pool import (
+                retarget_bs)
+            if self.packed_in is not None:
+                X, nb_in, bs_in = self.packed_in
+                if bs_in != bs:  # free re-view at this stage's bs
+                    xin, nb = retarget_bs(x, X, nb_in, bs_in, bs)
+                else:
+                    xin, nb = x, nb_in
+                xp = block0(xin, train, packed_meta=(X, nb, bs, True))
+            else:
+                B, Y, X, Z, _ = x.shape
+                nb = Z // bs
+                xp = block0(x, train, packed_meta=(X, nb, bs, False))
             xp = block1(xp, train, packed_meta=(X, nb, bs, True))
+            if self.keep_packed:
+                return xp
             return unpack(xp, X, nb, bs)
+        if self.packed_in is not None:
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+                unpack)
+            X, nb_in, bs_in = self.packed_in
+            x = unpack(x, X, nb_in, bs_in)
         x = block0(x, train)
         x = block1(x, train)
         return x
@@ -556,14 +595,24 @@ class _FusedReduction(nn.Module):
     bs: int
     use_bn: bool = True
     dtype: Any = jnp.float32
+    packed_in: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
             fused_conv_strided, interior_stats_slots, merge_slots, pack,
-            unpack_slots)
-        B, Y, X, Z, ci0 = x.shape
+            unpack, unpack_slots)
+        from multimodal_fusion_fpn_tpu.ops.pallas.pool import retarget_bs
         bs = self.bs
+        if self.packed_in is not None:
+            X, nb_in, bs_in = self.packed_in
+            B, Y = x.shape[0], x.shape[1]
+            Z = nb_in * bs_in
+            ci0 = x.shape[-1] // bs_in
+            x_compact = None  # materialized lazily for the ds path
+        else:
+            B, Y, X, Z, ci0 = x.shape
+            x_compact = x
         co = self.features
         dt = self.dtype
         n = self.n
@@ -580,8 +629,17 @@ class _FusedReduction(nn.Module):
             r_possible += 1
         r_fused = min(r_possible, cap)
 
-        x = x.astype(dt)
-        xp = pack(x, bs)
+        if self.packed_in is not None:
+            x = x.astype(dt)
+            if bs_in != bs:
+                xp, _ = retarget_bs(x, X, nb_in, bs_in, bs)
+            else:
+                xp = x
+            x_compact = unpack(x, X, nb_in, bs_in)  # free view
+        else:
+            x = x.astype(dt)
+            xp = pack(x, bs)
+            x_compact = x
 
         def bn(y_raw, c_nb, valid, name):
             mean, var = interior_stats_slots(y_raw, X, c_nb, bs, valid,
@@ -637,7 +695,7 @@ class _FusedReduction(nn.Module):
                       use_bias=not self.use_bn,
                       kernel_init=conv_kernel_init,
                       bias_init=conv_bias_init_for_rank(3),
-                      dtype=dt, name="ds_conv")(x)
+                      dtype=dt, name="ds_conv")(x_compact)
         res = TorchBatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5,
                              scale_init=bn_scale_init, dtype=dt,
@@ -656,13 +714,16 @@ class ZDimReduction(nn.Module):
     use_bn: bool = True
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    packed_in: Optional[Tuple[int, int, int]] = None
 
     def _fused_bs(self, x) -> Optional[int]:
-        # Measured on-chip (with the dband/wrap backward kernels): the
-        # fused cascade wins for num_reductions <= 3 (s2: 20.3 vs 21.6,
-        # s3: 11.1 vs 13.6 ms fwd+bwd) but loses at zdimRed1's 4-deep
-        # cascade (27.8 vs 20.7 — three slot-sparse full-width levels).
-        # Default: fused for n <= 3; MMF_FUSED_PROJ=1/0 forces all/none.
+        # Round-2 measured the 4-deep zdimRed1 cascade LOSING fused
+        # (27.8 vs 20.7 ms — slot-sparse full-width levels); with the
+        # round-3 block-pair merges the ALL-fused projections win
+        # outright (flagship step 190.2 vs 204.9 ms, same session) —
+        # the classic path's banded patch volume (bf16[...,31,17,16],
+        # 276 MB x4 in the step HLO) and its layout copies disappear.
+        # Default: fused wherever eligible; MMF_FUSED_PROJ=0 forces off.
         force = _os.environ.get("MMF_FUSED_PROJ", "")
         if force == "0":
             return None
@@ -670,13 +731,14 @@ class ZDimReduction(nn.Module):
             # cap=0 means "no fused levels" — the classic per-op path is
             # the same thing without _FusedReduction's empty-loop edge.
             return None
-        if force != "1" and self.num_reductions > 3:
+        if not _fused_active():
             return None
-        if not _fused_active() or x.ndim != 5:
+        if self.packed_in is None and x.ndim != 5:
             return None
         if not self.use_bn or self.dropout > 0.0 or self.features > 64:
             return None
-        z = x.shape[3]
+        z = (self.packed_in[1] * self.packed_in[2]
+             if self.packed_in is not None else x.shape[3])
         # prefer bs*C = 128 (one MXU tile; band-dot FLOPs are linear in
         # bs), then an EVEN block count (enables the block-pair merges
         # that keep deeper cascade levels dense).
@@ -695,8 +757,14 @@ class ZDimReduction(nn.Module):
             if bs is not None:
                 x = _FusedReduction(self.features, n=n, bs=bs,
                                     use_bn=self.use_bn,
-                                    dtype=self.dtype, name="red")(x, train)
+                                    dtype=self.dtype,
+                                    packed_in=self.packed_in,
+                                    name="red")(x, train)
             else:
+                if self.packed_in is not None:
+                    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv \
+                        import unpack
+                    x = unpack(x, *self.packed_in)
                 x = ConvX(self.features,
                           kernels=((1, 1, 3),) * n,
                           strides=((1, 1, 2),) * n,
@@ -706,6 +774,10 @@ class ZDimReduction(nn.Module):
                           downsample=True,
                           downsample_strides=(1, 1, 2 ** n),
                           dtype=self.dtype, name="red")(x, train)
+        elif self.packed_in is not None:
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import \
+                unpack
+            x = unpack(x, *self.packed_in)
         x = ConvX(self.features,
                   kernels=((1, 1, self.final_kernel),),
                   strides=((1, 1, 1),),

@@ -1,0 +1,82 @@
+"""The 5-level 3D encoder loop with PACKED inter-stage plumbing.
+
+When the fused Pallas stage lowering is active, every stage's output
+stays in the padless thick layout and the inter-stage max pools run as
+packed Pallas kernels (ops/pallas/pool.py) — the round-3 step-HLO audit
+showed the compact-form pools (select-and-scatter on the 8x lane-padded
+(…, Z, 16) layout) plus the layout copies at every packed/compact
+boundary were among the largest single costs of the train step.
+Projection heads consume the packed stage outputs directly.
+
+Falls back per level to the compact path (classic stages, reduce_window
+pools) whenever a stage or pool is ineligible — CPU runs, whole-volume
+eval shapes, dropout-on configs.
+
+Used by models/unet3d.py and models/fusion.py (reference call
+structure: ``unets3D.py:8-485``, ``fusion3D2D.py:10-581``).
+"""
+
+from typing import Any, List, Optional, Tuple
+
+from multimodal_fusion_fpn_tpu.models.blocks import (fused_stage_bs,
+                                                     max_pool)
+
+Meta = Optional[Tuple[int, int, int]]  # (X, nb, bs) when packed
+
+
+def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
+                   x, train: bool, pools,
+                   name_fmt: str = "conv{}") -> List[Tuple[Any, Meta]]:
+    """Run the 5 encoder stages + 4 inter-stage pools.
+
+    Returns the per-level PRE-POOL outputs as (value, meta) pairs —
+    meta is the (X, nb, bs) packed descriptor, or None when the value
+    is a compact (B, Y, X, Z, C) array.
+    """
+    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import unpack
+    from multimodal_fusion_fpn_tpu.ops.pallas.pool import pool_packed
+
+    convs: List[Tuple[Any, Meta]] = []
+    cur, meta = x, None
+    in_ch = x.shape[-1]
+    for lvl in range(5):
+        if meta is not None:
+            X, nb_in, bs_in = meta
+            z = nb_in * bs_in
+        else:
+            X, z = cur.shape[2], cur.shape[3]
+        bs_lvl = fused_stage_bs(z, channels[lvl], use_bn, dropout[lvl],
+                                ndim=3)
+        stage = Stage(
+            channels[lvl], dropout=dropout[lvl], use_bn=use_bn,
+            downsample=(in_ch != channels[lvl]), ndim=3, dtype=dtype,
+            packed_in=meta, keep_packed=bs_lvl is not None,
+            name=name_fmt.format(lvl + 1))
+        out = stage(cur, train)
+        out_meta: Meta = ((X, z // bs_lvl, bs_lvl)
+                          if bs_lvl is not None else None)
+        convs.append((out, out_meta))
+
+        if lvl < 4:
+            wY, wX, wZ = pools[lvl]
+            Ycur = out.shape[1]
+            if (out_meta is not None and X % wX == 0 and Ycur % wY == 0
+                    and bs_lvl % wZ == 0):
+                nbo = z // bs_lvl
+                cur = pool_packed(out, X, nbo, bs_lvl, (wY, wX, wZ))
+                meta = (X // wX, nbo, bs_lvl // wZ)
+            else:
+                compact = (unpack(out, *out_meta)
+                           if out_meta is not None else out)
+                cur = max_pool(compact, pools[lvl])
+                meta = None
+        in_ch = channels[lvl]
+    return convs
+
+
+def as_compact(value, meta: Meta):
+    """(value, meta) -> compact (B, Y, X, Z, C) array (free reshape)."""
+    if meta is None:
+        return value
+    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import unpack
+    return unpack(value, *meta)

@@ -84,19 +84,11 @@ class ModifiedUnet3D2D(nn.Module):
                 x2 = max_pool(x2, POOLS_2D[min(lvl, 3)])
             in_ch = ch[lvl]
 
-        # --- 3D encoder ---------------------------------------------------
-        convs = []
-        x3 = volume
-        in_ch = volume.shape[-1]
-        for lvl in range(5):
-            x3 = Stage(
-                ch[lvl], dropout=drop[lvl], use_bn=bn,
-                downsample=(in_ch != ch[lvl]), ndim=3, dtype=self.dtype,
-                name=f"conv{lvl + 1}")(x3, train)
-            convs.append(x3)
-            if lvl < 4:
-                x3 = max_pool(x3, POOLS_3D[lvl])
-            in_ch = ch[lvl]
+        # --- 3D encoder (packed inter-stage plumbing) -----------------------
+        from multimodal_fusion_fpn_tpu.models.encoder3d import (
+            run_3d_encoder)
+        convs = run_3d_encoder(Stage, ch, drop, bn, self.dtype, volume,
+                               train, POOLS_3D)
 
         # --- 3D skips: depth projection + mean -----------------------------
         projected = []
@@ -104,7 +96,8 @@ class ModifiedUnet3D2D(nn.Module):
             p = Proj(
                 ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
                 final_kernel=4, use_bn=bn, dropout=0.0, dtype=self.dtype,
-                name=f"zdimRed{lvl + 1}")(convs[lvl], train)
+                packed_in=convs[lvl][1],
+                name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
             p = jnp.mean(p, axis=3, keepdims=True)
             projected.append(p)
 

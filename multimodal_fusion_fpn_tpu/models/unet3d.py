@@ -47,21 +47,13 @@ class ModifiedUnet3D(nn.Module):
         Stage = maybe_remat(EncoderStage, self.remat)
         Proj = maybe_remat(ZDimReduction, self.remat)
         Up = maybe_remat(UpBlock2, self.remat, train_argnum=3)
-        convs = []
-        in_ch = x.shape[-1]
-        for lvl in range(5):
-            stage = Stage(
-                ch[lvl], dropout=drop[lvl], use_bn=bn,
-                downsample=(in_ch != ch[lvl]), ndim=3, dtype=self.dtype,
-                name=f"conv{lvl + 1}")
-            x = stage(x, train)
-            convs.append(x)
-            if lvl < 4:
-                x = max_pool(x, POOLS_3D[lvl])
-            in_ch = ch[lvl]
+        from multimodal_fusion_fpn_tpu.models.encoder3d import (
+            as_compact, run_3d_encoder)
+        convs = run_3d_encoder(Stage, ch, drop, bn, self.dtype, x, train,
+                               POOLS_3D)
 
         if self.classification:
-            return convs[4]
+            return as_compact(*convs[4])
 
         final_kernel = 8 if self.original else 4
         projected = []
@@ -69,7 +61,8 @@ class ModifiedUnet3D(nn.Module):
             p = Proj(
                 ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
                 final_kernel=final_kernel, use_bn=bn, dropout=0.0,
-                dtype=self.dtype, name=f"zdimRed{lvl + 1}")(convs[lvl], train)
+                dtype=self.dtype, packed_in=convs[lvl][1],
+                name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
             if not self.original:
                 p = jnp.mean(p, axis=3, keepdims=True)
             projected.append(p)

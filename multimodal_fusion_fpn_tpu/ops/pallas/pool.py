@@ -1,0 +1,182 @@
+"""Max pooling ON the padless thick layout (Pallas).
+
+The compact-form pool is the single most expensive "glue" op in the
+flagship step: on (B, Y, X, Z, 16) the 16-channel lane dim is padded
+8x in HBM, the reduce_window backward lowers to select-and-scatter
+(measured 25 ms for the stage-1 pool alone, v5e bf16), and XLA inserts
+260 MB layout copies between the pool and the Pallas stage kernels
+(step-HLO audit, round 3).  Pooling directly on the packed
+(B, Y, RX=X*nb, bs*C) buffers removes the padding, the scatter and the
+boundary copies:
+
+  * Y/X pooling = elementwise max of block pairs, wired through
+    BlockSpec index maps (grid step (b, y', x') reads the wY*wX input
+    blocks (y'*wY+dy, (x'*wX+dx)*nb rows) — no shuffles at all).
+  * z pooling = max over adjacent z SLOTS (z = m*bs + j, so a (1,1,2)
+    window pairs slots 2j/2j+1 inside each block — lane-group max +
+    static-slice compaction, all in VMEM).
+
+The backward routes the cotangent to every tied max location (ties are
+measure-zero for continuous activations; exact-zero ReLU ties are
+killed upstream by the ReLU mask either way).
+
+Pool windows are the model family's (1,2,2)/(2,2,2) (reference
+``unets3D.py``/``fusion3D2D.py`` MaxPool3d); any wY,wX,wZ in {1,2} with
+even extents is supported.
+"""
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _zpair_max(v, bs: int, C: int):
+    """(rows, bs*C) -> (rows, (bs//2)*C): max over z-slot pairs."""
+    parts = [
+        jnp.maximum(v[:, (2 * j) * C:(2 * j + 1) * C],
+                    v[:, (2 * j + 1) * C:(2 * j + 2) * C])
+        for j in range(bs // 2)
+    ]
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _zpair_expand(e, bs_out: int, C: int):
+    """(rows, bs_out*C) -> (rows, 2*bs_out*C): duplicate each slot group
+    (inverse indexing of :func:`_zpair_max`)."""
+    parts = []
+    for j in range(bs_out):
+        g = e[:, j * C:(j + 1) * C]
+        parts.extend((g, g))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+
+
+def _fwd_kernel(*refs, n_in: int, bs: int, C: int, wZ: int):
+    out_ref = refs[n_in]
+    v = refs[0][0, 0, 0]
+    for i in range(1, n_in):
+        v = jnp.maximum(v, refs[i][0, 0, 0])
+    if wZ == 2:
+        v = _zpair_max(v, bs, C)
+    out_ref[0, 0, 0] = v
+
+
+def _bwd_kernel(x_ref, o_ref, g_ref, dx_ref, *, bs: int, C: int,
+                wZ: int):
+    o = o_ref[0, 0, 0]
+    g = g_ref[0, 0, 0]
+    if wZ == 2:
+        o = _zpair_expand(o, bs // 2, C)
+        g = _zpair_expand(g, bs // 2, C)
+    x = x_ref[0, 0, 0]
+    # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
+    # ("Target does not support this comparison"): compare in fp32.
+    tie = x.astype(jnp.float32) == o.astype(jnp.float32)
+    dx_ref[0, 0, 0] = jnp.where(tie, g, 0.0).astype(x.dtype)
+
+
+def _specs(nb: int, CC: int, wY: int, wX: int):
+    """The wY*wX paired input block specs on the 5D (B, Y, X, nb, CC)
+    view — nb gets its own dim so the (nb, CC) block trailing dims
+    EQUAL the array dims (Mosaic requires 8/128-divisible or full)."""
+    specs = []
+    for dy in range(wY):
+        for dx in range(wX):
+            specs.append(pl.BlockSpec(
+                (1, 1, 1, nb, CC),
+                lambda b, y, x, dy=dy, dx=dx: (b, y * wY + dy,
+                                               x * wX + dx, 0, 0),
+                memory_space=pltpu.VMEM))
+    return specs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def pool_packed(xp: jnp.ndarray, X: int, nb: int, bs: int,
+                window: Tuple[int, int, int],
+                interpret: bool = None) -> jnp.ndarray:
+    """(B, Y, X*nb, bs*C) -> (B, Y//wY, (X//wX)*nb, (bs//wZ)*C)."""
+    return _pool_fwd_impl(xp, X, nb, bs, window, interpret)
+
+
+def _pool_fwd_impl(xp, X, nb, bs, window, interpret=None):
+    if interpret is None:  # auto: interpret the kernel off-TPU (CI)
+        interpret = jax.default_backend() != "tpu"
+    wY, wX, wZ = window
+    B, Y, RX, CC = xp.shape
+    C = CC // bs
+    assert RX == X * nb, (xp.shape, X, nb)
+    assert Y % wY == 0 and X % wX == 0 and bs % wZ == 0, (xp.shape,
+                                                         window)
+    n_in = wY * wX
+    CCo = (bs // wZ) * C
+    x5 = xp.reshape(B, Y, X, nb, CC)
+    kern = functools.partial(_fwd_kernel, n_in=n_in, bs=bs, C=C, wZ=wZ)
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Y // wY, X // wX),
+        in_specs=_specs(nb, CC, wY, wX),
+        out_specs=pl.BlockSpec((1, 1, 1, nb, CCo),
+                               lambda b, y, x: (b, y, x, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, Y // wY, X // wX, nb, CCo), xp.dtype),
+        interpret=interpret,
+    )(*([x5] * n_in))
+    return out.reshape(B, Y // wY, (X // wX) * nb, CCo)
+
+
+def _pool_vjp_fwd(xp, X, nb, bs, window, interpret=None):
+    out = _pool_fwd_impl(xp, X, nb, bs, window, interpret)
+    return out, (xp, out)
+
+
+def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    xp, out = res
+    wY, wX, wZ = window
+    B, Y, RX, CC = xp.shape
+    C = CC // bs
+    CCo = (bs // wZ) * C
+    x5 = xp.reshape(B, Y, X, nb, CC)
+    o5 = out.reshape(B, Y // wY, X // wX, nb, CCo)
+    g5 = g.astype(xp.dtype).reshape(B, Y // wY, X // wX, nb, CCo)
+    kern = functools.partial(_bwd_kernel, bs=bs, C=C, wZ=wZ)
+    # full-resolution grid: each INPUT block reads its own data plus the
+    # (y//wY, x//wX) pooled/cotangent blocks, writes its dx block once.
+    x_spec = pl.BlockSpec((1, 1, 1, nb, CC),
+                          lambda b, y, x: (b, y, x, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, 1, 1, nb, CCo),
+                          lambda b, y, x: (b, y // wY, x // wX, 0, 0),
+                          memory_space=pltpu.VMEM)
+    dx = pl.pallas_call(
+        kern,
+        grid=(B, Y, X),
+        in_specs=[x_spec, o_spec, o_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x5.shape, xp.dtype),
+        interpret=interpret,
+    )(x5, o5, g5)
+    return (dx.reshape(xp.shape),)
+
+
+pool_packed.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)
+
+
+def retarget_bs(xp: jnp.ndarray, X: int, nb: int, bs: int,
+                new_bs: int):
+    """Re-view a dense packed buffer at a different block size (free
+    reshape in the padless layout): (X*nb rows, bs*C) -> (X*nb2 rows,
+    new_bs*C) with nb2 = nb*bs // new_bs.  Requires (nb*bs) % new_bs
+    == 0."""
+    B, Y, RX, CC = xp.shape
+    C = CC // bs
+    z = nb * bs
+    assert z % new_bs == 0, (z, new_bs)
+    nb2 = z // new_bs
+    xt = xp.reshape(B, Y, X, z, C)
+    return xt.reshape(B, Y, X * nb2, new_bs * C), nb2
