@@ -377,13 +377,16 @@ class ConvX(nn.Module):
                               preferred_element_type=dt)
 
         def conv_narrow(w_shape, name):
-            # raw conv from the compact layout, then pack
+            # raw conv from the compact layout, emitted DIRECTLY in the
+            # packed thick layout (banded's dot output is already
+            # (..., nb, bs*co); the compact round trip cost two 260 MB
+            # layout copies per conv in the step HLO).
             w = _ConvKernel(w_shape, name=name)()
             k = w_shape[:nsp]
-            y = banded_conv(x, w.astype(dt), (1,) * nsp,
-                            tuple(kk // 2 for kk in k),
-                            preferred_element_type=dt)
-            return pack(y, bs)
+            return banded_conv(x, w.astype(dt), (1,) * nsp,
+                               tuple(kk // 2 for kk in k), block=bs,
+                               preferred_element_type=dt,
+                               packed_out=True)
 
         def bn(y_raw, name):
             mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
@@ -629,17 +632,35 @@ class _FusedReduction(nn.Module):
             r_possible += 1
         r_fused = min(r_possible, cap)
 
+        stride = 2 ** n
         if self.packed_in is not None:
             x = x.astype(dt)
             if bs_in != bs:
                 xp, _ = retarget_bs(x, X, nb_in, bs_in, bs)
             else:
                 xp = x
-            x_compact = unpack(x, X, nb_in, bs_in)  # free view
+            # ds path: z-stride-2**n 1x1 conv.  Slice in PACKED
+            # coordinates (z = m*bs + j) so only the 1/stride of the
+            # data it reads is ever gathered — the unpack view forced
+            # two full-size layout copies in the step HLO.
+            xt = x.reshape(x.shape[0], x.shape[1], X, nb_in, bs_in, ci0)
+            if stride % bs_in == 0:
+                x_ds = xt[:, :, :, ::stride // bs_in, :1, :]
+            elif bs_in % stride == 0:
+                x_ds = xt[:, :, :, :, ::stride, :]
+            else:
+                x_ds = None
+            if x_ds is not None:
+                x_ds = x_ds.reshape(x.shape[0], x.shape[1], X, -1, ci0)
+                ds_strides = (1, 1, 1)
+            else:
+                x_ds = unpack(x, X, nb_in, bs_in)
+                ds_strides = (1, 1, stride)
         else:
             x = x.astype(dt)
             xp = pack(x, bs)
-            x_compact = x
+            x_ds = x
+            ds_strides = (1, 1, stride)
 
         def bn(y_raw, c_nb, valid, name):
             mean, var = interior_stats_slots(y_raw, X, c_nb, bs, valid,
@@ -691,11 +712,11 @@ class _FusedReduction(nn.Module):
             last = t
 
         res = TpuConv(co, kernel_size=(1, 1, 1),
-                      strides=(1, 1, 2 ** n), padding=(0, 0, 0),
+                      strides=ds_strides, padding=(0, 0, 0),
                       use_bias=not self.use_bn,
                       kernel_init=conv_kernel_init,
                       bias_init=conv_bias_init_for_rank(3),
-                      dtype=dt, name="ds_conv")(x_compact)
+                      dtype=dt, name="ds_conv")(x_ds)
         res = TorchBatchNorm(use_running_average=not train,
                              momentum=0.9, epsilon=1e-5,
                              scale_init=bn_scale_init, dtype=dt,

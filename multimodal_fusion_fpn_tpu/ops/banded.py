@@ -43,7 +43,8 @@ def banded_conv(x: jnp.ndarray, w: jnp.ndarray,
                 strides: Sequence[int],
                 padding: Sequence[Tuple[int, int] or int],
                 block: int = 8,
-                preferred_element_type=jnp.float32) -> jnp.ndarray:
+                preferred_element_type=jnp.float32,
+                packed_out: bool = False) -> jnp.ndarray:
     """Convolution over the trailing spatial dims of a channels-last array,
     blocked along the LAST spatial dim.
 
@@ -130,6 +131,16 @@ def banded_conv(x: jnp.ndarray, w: jnp.ndarray,
             preferred_element_type=preferred_element_type)
         out = t_out if out is None else out + t_out
 
+    if packed_out:
+        # the dot output (..., X, nb, block*co) IS the padless thick
+        # layout when z_out == nb*block: return (B, Y, X*nb, block*co)
+        # without the compact round trip (the compact 5D form is 8x
+        # lane-padded for narrow co, and its layout copies around the
+        # Pallas stage kernels were among the largest step-HLO items).
+        assert nb * block == z_out, (nb, block, z_out)
+        return out.reshape(
+            out.shape[:-3] + (out.shape[-3] * nb, block * co)
+        ).astype(preferred_element_type)
     # (..., nb, block*co) -> (..., nb*block, co) -> slice true z_out
     out = out.reshape(out.shape[:-1] + (block, co))
     out = out.reshape(out.shape[:-3] + (nb * block, co))
