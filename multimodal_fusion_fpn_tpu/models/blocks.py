@@ -520,11 +520,15 @@ class EncoderStage(nn.Module):
         the blocked fast path (3D, narrow channels, dividing z) plus
         BN-on / dropout-off (BN folding is what the fusion exploits)."""
         if self.packed_in is not None:
-            _, nb, bs_in = self.packed_in
+            X, nb, bs_in = self.packed_in
             z = nb * bs_in
         elif x.ndim == 5:
-            z = x.shape[3]
+            X, z = x.shape[2], x.shape[3]
         else:
+            return None
+        from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+            active_space_shards)
+        if X % active_space_shards() != 0:
             return None
         return fused_stage_bs(z, self.features, self.use_bn,
                               self.dropout, self.ndim)
@@ -757,6 +761,12 @@ class ZDimReduction(nn.Module):
         if self.packed_in is None and x.ndim != 5:
             return None
         if not self.use_bn or self.dropout > 0.0 or self.features > 64:
+            return None
+        from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+            active_space_shards)
+        X = (self.packed_in[0] if self.packed_in is not None
+             else x.shape[2])
+        if X % active_space_shards() != 0:
             return None
         z = (self.packed_in[1] * self.packed_in[2]
              if self.packed_in is not None else x.shape[3])

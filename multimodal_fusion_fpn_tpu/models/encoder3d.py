@@ -47,6 +47,13 @@ def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
             X, z = cur.shape[2], cur.shape[3]
         bs_lvl = fused_stage_bs(z, channels[lvl], use_bn, dropout[lvl],
                                 ndim=3)
+        if bs_lvl is not None:
+            # mirror EncoderStage's space gate exactly (the helper must
+            # predict the stage's packed/compact decision)
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+                active_space_shards)
+            if X % active_space_shards() != 0:
+                bs_lvl = None
         stage = Stage(
             channels[lvl], dropout=dropout[lvl], use_bn=use_bn,
             downsample=(in_ch != channels[lvl]), ndim=3, dtype=dtype,
@@ -60,8 +67,11 @@ def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
         if lvl < 4:
             wY, wX, wZ = pools[lvl]
             Ycur = out.shape[1]
-            if (out_meta is not None and X % wX == 0 and Ycur % wY == 0
-                    and bs_lvl % wZ == 0):
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+                active_space_shards)
+            ns = active_space_shards()
+            if (out_meta is not None and X % (wX * ns) == 0
+                    and Ycur % wY == 0 and bs_lvl % wZ == 0):
                 nbo = z // bs_lvl
                 cur = pool_packed(out, X, nbo, bs_lvl, (wY, wX, wZ))
                 meta = (X // wX, nbo, bs_lvl // wZ)

@@ -404,6 +404,95 @@ def set_interpret_mode(flag: bool) -> None:
     _INTERPRET = bool(flag)
 
 
+# --------------------------------------------------------------------------
+# Space (en-face width) sharding
+# --------------------------------------------------------------------------
+#
+# GSPMD cannot partition pallas_call, so under a mesh with a sharded X
+# axis the fused ops run inside shard_map: the affine+ReLU prologue is
+# computed per-shard in XLA, the ACTIVATED rows are halo-exchanged
+# (edge halos zeroed — correct because contributions are linear in t
+# and a zero t contributes nothing), and the kernel runs with an
+# identity prologue on the halo-extended slab.  kX == 1 ops (the
+# strided projection cascade, 1x1 convs, pools) need no halo at all.
+
+_SPACE = None  # (mesh, data_axis_or_None, space_axis) or None
+
+
+def set_space_sharding(mesh, space_axis: str = "space",
+                       data_axis: str = "data") -> None:
+    """Declare the active device mesh for the fused lowerings.  With a
+    >1-sized ``space_axis`` the fused ops wrap themselves in shard_map
+    (row/X sharding + halo exchange); pass None to clear."""
+    global _SPACE
+    if mesh is None or space_axis not in mesh.axis_names \
+            or mesh.shape[space_axis] <= 1:
+        _SPACE = None
+    else:
+        da = data_axis if data_axis in mesh.axis_names else None
+        _SPACE = (mesh, da, space_axis)
+
+
+def active_space_shards() -> int:
+    """Number of X shards the fused ops will split over (1 = none)."""
+    return 1 if _SPACE is None else _SPACE[0].shape[_SPACE[2]]
+
+
+def _row_specs():
+    from jax.sharding import PartitionSpec as P
+    mesh, da, sa = _SPACE
+    return P(da, None, sa, None), P()
+
+
+def _with_halo(t, nb: int, axis: str, ns: int):
+    """Concat the neighbors' boundary X-groups (nb rows each side);
+    the true-edge halos are zeroed."""
+    idx = jax.lax.axis_index(axis)
+    left = jax.lax.ppermute(
+        t[:, :, -nb:, :], axis, [(i, (i + 1) % ns) for i in range(ns)])
+    left = jnp.where(idx == 0, jnp.zeros_like(left), left)
+    right = jax.lax.ppermute(
+        t[:, :, :nb, :], axis, [(i, (i - 1) % ns) for i in range(ns)])
+    right = jnp.where(idx == ns - 1, jnp.zeros_like(right), right)
+    return jnp.concatenate([left, t, right], axis=2)
+
+
+def _fused_op_sharded(cfg, xs, scales, biases, band, wplus, wminus):
+    from jax import shard_map
+    mesh, da, sa = _SPACE
+    ns = mesh.shape[sa]
+    kY, kX, X, nb, bs, relu = cfg[:6]
+    assert X % ns == 0, (X, ns)
+    Xl = X // ns
+    bspec, rspec = _row_specs()
+
+    if kX == 3:
+        cfg_l = (kY, kX, Xl + 2, *cfg[3:5], False, *cfg[6:])
+
+        def per_shard(xs_l, scales_l, biases_l, band_l, wplus_l,
+                      wminus_l):
+            t = _affine_t(list(xs_l), list(scales_l), list(biases_l),
+                          relu)
+            t_ext = _with_halo(t, nb, sa, ns)
+            y = _fused_op(cfg_l, (t_ext,), (None,), (None,), band_l,
+                          wplus_l, wminus_l)
+            return y[:, :, nb:-nb, :]
+    else:
+        cfg_l = (kY, kX, Xl, *cfg[3:])
+
+        def per_shard(xs_l, scales_l, biases_l, band_l, wplus_l,
+                      wminus_l):
+            return _fused_op(cfg_l, tuple(xs_l), tuple(scales_l),
+                             tuple(biases_l), band_l, wplus_l, wminus_l)
+
+    operands = (tuple(xs), tuple(scales), tuple(biases), band, wplus,
+                wminus)
+    in_specs = jax.tree.map(lambda _: rspec, operands)
+    in_specs = (tuple(bspec for _ in xs),) + in_specs[1:]
+    return shard_map(per_shard, mesh=mesh, in_specs=in_specs,
+                     out_specs=bspec, check_vma=False)(*operands)
+
+
 def _use_pallas_impl(impl: str) -> bool:
     if impl == "pallas":
         return True
@@ -593,6 +682,9 @@ def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
     cfg = (kY, kX, X, nb, bs, bool(relu),
            jnp.dtype(preferred_element_type).name, impl,
            (bs - 1, 0), (0, bs - 1))
+    if _SPACE is not None:
+        return _fused_op_sharded(cfg, tuple(xs), tuple(scales),
+                                 tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
 
@@ -661,6 +753,9 @@ def fused_conv_strided(xs, scales, biases, w, X: int, nb: int, bs: int,
     cfg = (1, 1, X, nb, bs, bool(relu),
            jnp.dtype(preferred_element_type).name, impl,
            (valid_in - 1, 0), (0, bs - 1))
+    if _SPACE is not None:
+        return _fused_op_sharded(cfg, tuple(xs), tuple(scales),
+                                 tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
 

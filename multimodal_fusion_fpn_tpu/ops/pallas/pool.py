@@ -94,16 +94,39 @@ def _specs(nb: int, CC: int, wY: int, wX: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _pool_packed_op(xp: jnp.ndarray, X: int, nb: int, bs: int,
+                    window: Tuple[int, int, int],
+                    interpret: bool = None) -> jnp.ndarray:
+    return _pool_fwd_impl(xp, X, nb, bs, window, interpret)
+
+
 def pool_packed(xp: jnp.ndarray, X: int, nb: int, bs: int,
                 window: Tuple[int, int, int],
                 interpret: bool = None) -> jnp.ndarray:
-    """(B, Y, X*nb, bs*C) -> (B, Y//wY, (X//wX)*nb, (bs//wZ)*C)."""
-    return _pool_fwd_impl(xp, X, nb, bs, window, interpret)
+    """(B, Y, X*nb, bs*C) -> (B, Y//wY, (X//wX)*nb, (bs//wZ)*C).
+
+    Under a declared space mesh (fused_conv.set_space_sharding) the
+    pool runs inside shard_map — windows never straddle X shards
+    (stride == window), so no halo is needed."""
+    from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as _fc
+    if _fc._SPACE is not None:
+        from jax import shard_map
+        mesh, da, sa = _fc._SPACE
+        ns = mesh.shape[sa]
+        assert X % (ns * window[1]) == 0, (X, ns, window)
+        bspec, _ = _fc._row_specs()
+        return shard_map(
+            lambda xl: _pool_packed_op(xl, X // ns, nb, bs, window,
+                                       interpret),
+            mesh=mesh, in_specs=(bspec,), out_specs=bspec,
+            check_vma=False)(xp)
+    return _pool_packed_op(xp, X, nb, bs, window, interpret)
 
 
 def _pool_fwd_impl(xp, X, nb, bs, window, interpret=None):
     if interpret is None:  # auto: interpret the kernel off-TPU (CI)
-        interpret = jax.default_backend() != "tpu"
+        from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as _fc
+        interpret = _fc._INTERPRET or jax.default_backend() != "tpu"
     wY, wX, wZ = window
     B, Y, RX, CC = xp.shape
     C = CC // bs
@@ -135,7 +158,8 @@ def _pool_vjp_fwd(xp, X, nb, bs, window, interpret=None):
 
 def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
     if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+        from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as _fc
+        interpret = _fc._INTERPRET or jax.default_backend() != "tpu"
     xp, out = res
     wY, wX, wZ = window
     B, Y, RX, CC = xp.shape
@@ -164,7 +188,7 @@ def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
     return (dx.reshape(xp.shape),)
 
 
-pool_packed.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)
+_pool_packed_op.defvjp(_pool_vjp_fwd, _pool_vjp_bwd)
 
 
 def retarget_bs(xp: jnp.ndarray, X: int, nb: int, bs: int,
