@@ -32,10 +32,17 @@ class OptDefaults:
             "Precision": M.Precision(output_key="prediction",
                                      target_key="mask"),
             "Recall": M.Recall(output_key="prediction", target_key="mask"),
+            # device=True: the distances are computed ON the
+            # accelerator, fused into the ensemble eval jit (one
+            # dispatch + one fetch per image — train/step.py
+            # make_ensemble_eval_step); bit-matched against the host
+            # scipy path in tests/test_device_hausdorff.py.
             "Hausdorff": M.Hausdorff(output_key="prediction",
-                                     target_key="mask", slice=0),
+                                     target_key="mask", slice=0,
+                                     device=True),
             "Hausdorff95": M.Hausdorff95(output_key="prediction",
-                                         target_key="mask", slice=0),
+                                         target_key="mask", slice=0,
+                                         device=True),
         }
 
     def __str__(self) -> str:

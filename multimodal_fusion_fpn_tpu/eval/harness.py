@@ -70,6 +70,9 @@ def compute_metrics(all_outputs, output, batch, metrics_val, results,
 
     if "mask" in batch:
         host_out = {"prediction": output_np}
+        for k in ("__device_hd__", "__device_hd95__"):
+            if k in output:  # fused on-device Hausdorff values
+                host_out[k] = output[k]
         for m, metric in metrics_val.items():
             metrics_row[m] = float(
                 np.asarray(metric.calculate_batch(batch, host_out)).item())
@@ -181,7 +184,12 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
 
     stacked_params = stack_ensemble([t["params"] for t in member_trees])
     stacked_bs = stack_ensemble([t["batch_stats"] for t in member_trees])
-    ensemble_step = make_ensemble_eval_step(model)
+    # Fuse the on-device Hausdorff/HD95 into the eval jit when any HD
+    # metric opted into the device path (one dispatch + one fetch per
+    # image; per-sample host dispatch pays ~27 ms/fetch on axon).
+    use_hd_device = any(getattr(m, "device", False)
+                        for m in metrics_val.values())
+    ensemble_step = make_ensemble_eval_step(model, with_hd=use_hd_device)
 
     noise_fn = None
     modality_to_noise = None
@@ -203,7 +211,14 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
         if shape_bucket:
             true_yx = (batch["image"].shape[2], batch["image"].shape[4])
             model_in = _bucket_pad(model_in, shape_bucket)
-        output = ensemble_step(stacked_params, stacked_bs, model_in)
+        if use_hd_device:
+            sp = (np.asarray(batch["spacing"][0],
+                             np.float32)[[0, 2]]
+                  if "spacing" in batch else np.ones(2, np.float32))
+            output = ensemble_step(stacked_params, stacked_bs, model_in,
+                                   sp)
+        else:
+            output = ensemble_step(stacked_params, stacked_bs, model_in)
         output = {k: np.asarray(v) for k, v in output.items()}
         if shape_bucket:
             output["prediction"] = \

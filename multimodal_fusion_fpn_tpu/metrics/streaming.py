@@ -263,7 +263,15 @@ class _HausdorffBase(Metrics):
     def _distance(self, p, g, spacing):
         raise NotImplementedError
 
+    _fused_key = None  # '__device_hd__' / '__device_hd95__' in subclasses
+
     def calculate_batch(self, ground: dict, predict: dict) -> np.ndarray:
+        if (self.device and self._fused_key is not None
+                and self._fused_key in predict):
+            # the ensemble eval step fused the distance into its jit
+            # (train/step.py make_ensemble_eval_step(with_hd=True)):
+            # the value arrived with the prediction in one fetch.
+            return np.array([float(predict[self._fused_key])])
         pred = (_np(predict[self.output_key]) > 0.5).astype(np.uint8)
         gr = (_np(ground[self.target_key]) > 0.5).astype(np.uint8)
         result = []
@@ -285,6 +293,8 @@ class _HausdorffBase(Metrics):
 
 
 class Hausdorff(_HausdorffBase):
+    _fused_key = "__device_hd__"
+
     def _distance(self, p, g, spacing):
         if self.device:
             return self._device_distance(p, g, spacing, 1, want95=False)
@@ -292,6 +302,8 @@ class Hausdorff(_HausdorffBase):
 
 
 class Hausdorff95(_HausdorffBase):
+    _fused_key = "__device_hd95__"
+
     def _distance(self, p, g, spacing):
         if self.device:
             return self._device_distance(p, g, spacing, 3, want95=True)

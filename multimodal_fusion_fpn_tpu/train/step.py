@@ -145,11 +145,19 @@ def make_eval_step(model, donate: bool = False) -> Callable:
     return eval_step
 
 
-def make_ensemble_eval_step(model) -> Callable:
+def make_ensemble_eval_step(model, with_hd: bool = False) -> Callable:
     """Vmapped stacked-params ensemble forward: the reference loops the 5
     checkpoints per batch on GPU (``test_utils.py:354-360``); on TPU all
     ensemble members run in one vmapped jitted call and the prediction
-    dicts are averaged on device."""
+    dicts are averaged on device.
+
+    ``with_hd`` fuses the on-device Hausdorff/HD95 (exact separable
+    masked-min EDT, metrics/device.py) of the thresholded mean
+    prediction's en-face mid-plane against the mask INTO the same jit —
+    one dispatch and one fetch per image instead of per-metric host
+    round trips (on the axon tunnel every fetched call pays ~27 ms).
+    The step then takes an extra (2,) spacing argument and returns
+    '__device_hd__'/'__device_hd95__' alongside the outputs."""
 
     def one(params, batch_stats, batch):
         return model.apply({"params": params, "batch_stats": batch_stats},
@@ -157,9 +165,29 @@ def make_ensemble_eval_step(model) -> Callable:
 
     vmapped = jax.vmap(one, in_axes=(0, 0, None))
 
-    @jax.jit
-    def ensemble_step(stacked_params, stacked_batch_stats, batch):
-        outs = vmapped(stacked_params, stacked_batch_stats, batch)
-        return jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+    if not with_hd:
+        @jax.jit
+        def ensemble_step(stacked_params, stacked_batch_stats, batch):
+            outs = vmapped(stacked_params, stacked_batch_stats, batch)
+            return jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
 
-    return ensemble_step
+        return ensemble_step
+
+    from multimodal_fusion_fpn_tpu.metrics.device import hausdorff_device
+
+    @jax.jit
+    def ensemble_step_hd(stacked_params, stacked_batch_stats, batch,
+                         spacing):
+        outs = vmapped(stacked_params, stacked_batch_stats, batch)
+        outs = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
+        pred = outs["prediction"][0, 0, :, 0, :] > 0.5
+        gt = batch["mask"][0, 0, :, 0, :] > 0.5
+        # the reference pair: HD at connectivity 1, HD95 at 3
+        # (common/metrics.py:402,449)
+        hd, _ = hausdorff_device(pred, gt, spacing, connectivity=1)
+        _, hd95 = hausdorff_device(pred, gt, spacing, connectivity=3)
+        outs["__device_hd__"] = hd
+        outs["__device_hd95__"] = hd95
+        return outs
+
+    return ensemble_step_hd

@@ -70,3 +70,56 @@ def test_streaming_metric_device_flag():
         np.testing.assert_allclose(
             np.asarray(dev.calculate_batch(batch, out)),
             np.asarray(host.calculate_batch(batch, out)), rtol=1e-4)
+
+
+def test_fused_ensemble_hd_matches_host():
+    """The HD/HD95 values fused into the ensemble eval jit
+    (make_ensemble_eval_step(with_hd=True)) equal the host scipy path
+    on the same averaged prediction."""
+    import jax
+    import numpy as np
+    from multimodal_fusion_fpn_tpu.config import make_config
+    from multimodal_fusion_fpn_tpu.metrics import streaming as M
+    from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
+    from multimodal_fusion_fpn_tpu.models.zoo import build_model
+    from multimodal_fusion_fpn_tpu.train.step import (
+        make_ensemble_eval_step, model_batch)
+
+    rng = np.random.default_rng(11)
+    batch = {
+        "image": rng.normal(size=(1, 1, 8, 64, 32)).astype(np.float32),
+        "mask": (rng.random((1, 1, 8, 1, 32)) > 0.6).astype(np.float32),
+        "spacing": np.asarray([[0.5, 1.0, 2.0]], np.float32),
+    }
+    cfg = make_config(model="FPN", crop="oct")
+    model = build_model(cfg, spec=ArchSpec(channels=(2, 4, 8, 16, 32)),
+                        remat=False)
+    trees = []
+    for seed in (0, 1):
+        v = model.init({"params": jax.random.PRNGKey(seed)},
+                       model_batch(batch), train=False)
+        trees.append(v)
+    stacked = jax.tree.map(lambda *xs: np.stack([np.asarray(x)
+                                                 for x in xs]), *trees)
+    step = make_ensemble_eval_step(model, with_hd=True)
+    sp = np.asarray(batch["spacing"][0], np.float32)[[0, 2]]
+    out = step(stacked["params"], stacked.get("batch_stats", {}),
+               model_batch(batch), sp)
+    host_out = {"prediction": np.asarray(out["prediction"])}
+
+    hd_host = M.Hausdorff(output_key="prediction", target_key="mask",
+                          slice=0).calculate_batch(batch, host_out)
+    hd95_host = M.Hausdorff95(output_key="prediction", target_key="mask",
+                              slice=0).calculate_batch(batch, host_out)
+    np.testing.assert_allclose(float(out["__device_hd__"]),
+                               float(hd_host[0]), rtol=1e-5)
+    np.testing.assert_allclose(float(out["__device_hd95__"]),
+                               float(hd95_host[0]), rtol=1e-5)
+
+    # and the metric objects consume the fused values verbatim
+    m = M.Hausdorff(output_key="prediction", target_key="mask", slice=0,
+                    device=True)
+    got = m.calculate_batch(batch, {**host_out,
+                                    "__device_hd__":
+                                        out["__device_hd__"]})
+    np.testing.assert_allclose(got, [float(out["__device_hd__"])])
