@@ -57,6 +57,13 @@ class Trainer:
 
         self.mesh = mesh
         self.bn_sync = bn_sync
+        if mesh is not None:
+            # lets the fused Pallas lowering run UNDER the mesh
+            # (shard_map + halo exchange) instead of falling back to
+            # the per-op path — see fused_conv.set_space_sharding.
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import \
+                set_space_sharding
+            set_space_sharding(mesh)
         self.train_step = self._make_step(self.vbs)
         # Epoch-tail steps (accum_steps < vbs) compiled lazily, cached by
         # tail length — the reference's Lightning loop still steps on a
