@@ -19,8 +19,7 @@ from flax import linen as nn
 
 from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
 from multimodal_fusion_fpn_tpu.models.blocks import (
-    EncoderStage, UpBlock2, ZDimReduction, conv_kernel_init, max_pool,
-    maybe_remat)
+    EncoderStage, UpBlock2, ZDimReduction, conv_kernel_init, maybe_remat)
 
 POOLS_3D = ((1, 2, 2), (1, 2, 2), (2, 2, 2), (2, 2, 2))
 UPFACTORS = ((2, 2, 1), (2, 2, 1), (1, 2, 1), (1, 2, 1))

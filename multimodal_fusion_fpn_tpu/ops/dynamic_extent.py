@@ -16,7 +16,7 @@ ZERO (masked by the caller — ``mask_valid``) for the max-type ops'
 neutral handling to hold.
 """
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
