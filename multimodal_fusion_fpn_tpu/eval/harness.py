@@ -148,10 +148,17 @@ def create_val_dataloader(opt, val_ids, data_transform_val,
 def _bucket_pad(batch: Dict, bucket: int) -> Dict:
     """Zero-pad the model input volumes so every non-singleton spatial
     dim is a multiple of ``bucket`` — bounds the set of XLA compilations
-    for whole-volume eval (RelFit emits per-image shapes).  Approximate:
-    boundary pixels within the padding's receptive field can differ from
-    the unbucketed run (the reference evaluates each image at its exact
-    shape); the prediction is cropped back before metrics."""
+    for whole-volume eval (RelFit emits per-image shapes) — and attach
+    the TRUE extents as the reserved "__valid_*__" keys.
+
+    Models that consume the keys (the FPN / FPNHybridFusion families)
+    evaluate EXACTLY: every conv/BN output is re-masked and the
+    size-dependent ops (pool extents, projection depth means, the
+    2D->3D alignment) compute over the true extents
+    (tests/test_exact_bucketing.py proves equality with the unbucketed
+    run).  Models that ignore them (FPN2D, FPNLateFusion) remain
+    approximate at the padded boundary.  The prediction is cropped back
+    before metrics either way."""
     out = dict(batch)
     for k in ("image", "slo", "faf"):
         v = out.get(k)
@@ -167,6 +174,12 @@ def _bucket_pad(batch: Dict, bucket: int) -> Dict:
                 tgt = -(-n // b) * b
                 pads[d] = (0, tgt - n)
         if any(p != (0, 0) for p in pads):
+            if k == "image":
+                out["__valid_image__"] = np.asarray(
+                    v.shape[2:5], np.int32)
+            else:
+                out["__valid_enface__"] = np.asarray(
+                    (v.shape[2], v.shape[4]), np.int32)
             out[k] = np.pad(np.asarray(v), pads)
     return out
 

@@ -164,13 +164,66 @@ def _fused_active() -> bool:
     return True
 
 
+# ---------------------------------------------------------------------------
+# Exact shape bucketing (eval-only): a dynamic valid-extent context.
+#
+# Bucketed whole-volume eval pads inputs to bucket shapes and threads the
+# TRUE extents (dynamic scalars) through the model; every conv/BN output
+# is re-zeroed beyond the true extents so the SAME-conv boundary reads
+# zeros exactly like the unbucketed run.  The context is None outside
+# exact-bucketed eval — all hooks are no-ops then.  Requires the per-op
+# lowering (the fused kernels fold the BN affine in-kernel, where the
+# re-zeroing can't be applied); the eval harness forces it.
+
+_VALID_CTX = []  # stack of dicts {axis_name: dynamic extent or None}
+
+
+class valid_extents:
+    """Context manager pushing the CURRENT tensor's true extents.
+
+    3D volumes use keys (y, x, z) for (B, Y, X, Z, C); 2D maps use
+    (h, w) for (B, H, W, C).  Values are dynamic int32 scalars (or
+    None for full dims)."""
+
+    def __init__(self, **ext):
+        self.ext = {k: v for k, v in ext.items() if v is not None}
+
+    def __enter__(self):
+        _VALID_CTX.append(self.ext if self.ext else None)
+        return self
+
+    def __exit__(self, *exc):
+        _VALID_CTX.pop()
+
+
+def current_valid():
+    return _VALID_CTX[-1] if _VALID_CTX else None
+
+
+def mask_to_valid(x):
+    """Zero ``x`` beyond the current valid extents (no-op without an
+    active exact-bucketing context)."""
+    ext = current_valid()
+    if not ext:
+        return x
+    from multimodal_fusion_fpn_tpu.ops.dynamic_extent import mask_valid
+    if x.ndim == 5:
+        axis_of = {"y": 1, "x": 2, "z": 3}
+    elif x.ndim == 4:
+        axis_of = {"h": 1, "w": 2}
+    else:
+        return x
+    extents = {axis_of[k]: v for k, v in ext.items() if k in axis_of}
+    return mask_valid(x, extents) if extents else x
+
+
 def fused_stage_bs(z: int, features: int, use_bn: bool, dropout: float,
                    ndim: int) -> Optional[int]:
     """The fused-chain block size an EncoderStage will pick for a given
     depth extent — or None when the stage runs the per-op path.  Shared
     by the stage itself and by the packed-encoder plumbing (the caller
     must predict whether a stage's output is packed and at which bs)."""
-    if not _fused_active():
+    if not _fused_active() or current_valid():
         return None
     if ndim != 3 or features > 64:
         return None
@@ -311,6 +364,8 @@ class ConvX(nn.Module):
         by a usable block size — i.e. the full-volume encoder stages,
         which otherwise materialize 8x-padded (.., Z, C) intermediates.
         """
+        if current_valid():
+            return None  # exact bucketing needs the per-conv masks
         if x.ndim not in (4, 5) or self.features > 64:
             return None
         nsp = x.ndim - 2  # 3 for volumes (block z), 2 for 2D (block W)
@@ -423,6 +478,19 @@ class ConvX(nn.Module):
         # padless layout: every row is real data, no interior re-mask
         return nn.relu(out)
 
+    def _ext_after(self, ext, kernel, strides, padding):
+        """Advance the true-extent dict through one conv (standard conv
+        arithmetic on the DYNAMIC extents — exactly the unbucketed
+        run's output sizes)."""
+        if not ext:
+            return ext
+        names = ("y", "x", "z") if len(kernel) == 3 else ("h", "w")
+        new = dict(ext)
+        for name, k, s, p in zip(names, kernel, strides, padding):
+            if name in new:
+                new[name] = (new[name] + 2 * p - k) // s + 1
+        return new
+
     @nn.compact
     def __call__(self, x, train: bool = False, packed_meta=None):
         if packed_meta is not None:
@@ -437,6 +505,18 @@ class ConvX(nn.Module):
             x = x.reshape(x.shape[:-2] + (z // bs, bs, c))
         out = x
         n = len(self.kernels)
+        ext = current_valid()  # exact-bucketing: advances per conv
+
+        def mask(t, e):
+            if not e:
+                return t
+            from multimodal_fusion_fpn_tpu.ops.dynamic_extent import \
+                mask_valid
+            axis_of = ({"y": 1, "x": 2, "z": 3} if t.ndim == 5
+                       else {"h": 1, "w": 2})
+            return mask_valid(t, {axis_of[k]: v for k, v in e.items()
+                                  if k in axis_of})
+
         for i in range(n):
             out = TpuConv(
                 self.features,
@@ -457,6 +537,10 @@ class ConvX(nn.Module):
                     dtype=self.dtype,
                     name=f"bn{i}",
                 )(out)
+            if ext:
+                ext = self._ext_after(ext, self.kernels[i],
+                                      self.strides[i], self.paddings[i])
+                out = mask(out, ext)
             if i < n - 1:
                 out = nn.relu(out)
 
@@ -482,6 +566,8 @@ class ConvX(nn.Module):
                         dtype=self.dtype,
                         name="ds_bn",
                     )(res)
+                if ext:
+                    res = mask(res, ext)
             else:
                 res = x
             out = out + res
@@ -750,7 +836,7 @@ class ZDimReduction(nn.Module):
         # 276 MB x4 in the step HLO) and its layout copies disappear.
         # Default: fused wherever eligible; MMF_FUSED_PROJ=0 forces off.
         force = _os.environ.get("MMF_FUSED_PROJ", "")
-        if force == "0":
+        if force == "0" or current_valid():
             return None
         if int(_os.environ.get("MMF_FUSED_PROJ_CAP", "99")) <= 0:
             # cap=0 means "no fused levels" — the classic per-op path is
@@ -809,14 +895,22 @@ class ZDimReduction(nn.Module):
             from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import \
                 unpack
             x = unpack(x, *self.packed_in)
-        x = ConvX(self.features,
-                  kernels=((1, 1, self.final_kernel),),
-                  strides=((1, 1, 1),),
-                  paddings=((0, 0, 0),),
-                  use_bn=self.use_bn, residual=False,
-                  dropout=self.dropout, downsample=False,
-                  dtype=self.dtype, name="fully")(x, train)
-        return x
+        fully = ConvX(self.features,
+                      kernels=((1, 1, self.final_kernel),),
+                      strides=((1, 1, 1),),
+                      paddings=((0, 0, 0),),
+                      use_bn=self.use_bn, residual=False,
+                      dropout=self.dropout, downsample=False,
+                      dtype=self.dtype, name="fully")
+        ext = current_valid()
+        if ext and "z" in ext:
+            # exact bucketing: 'fully' sees the cascade's TRUE depth
+            z_red = ext["z"]
+            for _ in range(n):
+                z_red = (z_red + 1) // 2
+            with valid_extents(**{**ext, "z": z_red}):
+                return fully(x, train)
+        return fully(x, train)
 
 
 def _up(x, features, upfactor, is_deconv, dtype, name):

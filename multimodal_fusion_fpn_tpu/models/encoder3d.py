@@ -18,28 +18,45 @@ structure: ``unets3D.py:8-485``, ``fusion3D2D.py:10-581``).
 
 from typing import Any, List, Optional, Tuple
 
-from multimodal_fusion_fpn_tpu.models.blocks import (fused_stage_bs,
-                                                     max_pool)
+from multimodal_fusion_fpn_tpu.models.blocks import (current_valid,
+                                                     fused_stage_bs,
+                                                     max_pool,
+                                                     valid_extents)
 
 Meta = Optional[Tuple[int, int, int]]  # (X, nb, bs) when packed
 
 
+def pooled_ext(ext, window, names=("y", "x", "z")):
+    """Advance a true-extent dict through a stride==window max pool
+    (torch floor semantics)."""
+    if not ext:
+        return ext
+    new = dict(ext)
+    for name, w in zip(names, window):
+        if name in new and w > 1:
+            new[name] = new[name] // w
+    return new
+
+
 def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
                    x, train: bool, pools,
-                   name_fmt: str = "conv{}") -> List[Tuple[Any, Meta]]:
+                   name_fmt: str = "conv{}"):
     """Run the 5 encoder stages + 4 inter-stage pools.
 
-    Returns the per-level PRE-POOL outputs as (value, meta) pairs —
-    meta is the (X, nb, bs) packed descriptor, or None when the value
-    is a compact (B, Y, X, Z, C) array.
-    """
+    Returns (convs, exts): per-level PRE-POOL outputs as (value, meta)
+    pairs — meta is the (X, nb, bs) packed descriptor, or None when the
+    value is a compact (B, Y, X, Z, C) array — and the per-level
+    true-extent dicts (exact bucketing; all None outside it)."""
     from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import unpack
     from multimodal_fusion_fpn_tpu.ops.pallas.pool import pool_packed
 
     convs: List[Tuple[Any, Meta]] = []
+    exts = []
+    ext = current_valid()
     cur, meta = x, None
     in_ch = x.shape[-1]
     for lvl in range(5):
+        exts.append(ext)
         if meta is not None:
             X, nb_in, bs_in = meta
             z = nb_in * bs_in
@@ -59,7 +76,8 @@ def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
             downsample=(in_ch != channels[lvl]), ndim=3, dtype=dtype,
             packed_in=meta, keep_packed=bs_lvl is not None,
             name=name_fmt.format(lvl + 1))
-        out = stage(cur, train)
+        with valid_extents(**(ext or {})):
+            out = stage(cur, train)
         out_meta: Meta = ((X, z // bs_lvl, bs_lvl)
                           if bs_lvl is not None else None)
         convs.append((out, out_meta))
@@ -80,8 +98,9 @@ def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
                            if out_meta is not None else out)
                 cur = max_pool(compact, pools[lvl])
                 meta = None
+            ext = pooled_ext(ext, pools[lvl])
         in_ch = channels[lvl]
-    return convs
+    return convs, exts
 
 
 def as_compact(value, meta: Meta):
@@ -90,3 +109,15 @@ def as_compact(value, meta: Meta):
         return value
     from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import unpack
     return unpack(value, *meta)
+
+
+def proj_depth_ext(ext, num_reductions: int, final_kernel: int):
+    """The TRUE depth extent of a projection head's output (the
+    stride-2 cascade then the VALID final conv) — the divisor for the
+    exact masked mean.  None outside exact bucketing."""
+    if not ext or "z" not in ext:
+        return None
+    z = ext["z"]
+    for _ in range(num_reductions):
+        z = (z + 1) // 2
+    return z - final_kernel + 1

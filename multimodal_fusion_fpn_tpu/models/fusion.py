@@ -33,13 +33,32 @@ from multimodal_fusion_fpn_tpu.ops.pooling import adaptive_max_pool
 POOLS_2D = ((1, 2), (1, 2), (2, 2), (2, 2))
 
 
-def align_2d_skip(skip2d, target_shape, interpolate: Optional[str]):
+def align_2d_skip(skip2d, target_shape, interpolate: Optional[str],
+                  true_2d=None, true_3d=None):
     """Lift a 2D skip to 5D and align it to the 3D skip's spatial shape.
 
     ``target_shape`` is the 3D skip's (Y, X, Z) shape.  Reference:
-    ``fusion3D2D.py:420-453``.
-    """
+    ``fusion3D2D.py:420-453``.  Under exact bucketing ``true_2d``
+    (h, w) and ``true_3d`` (y, x) carry the DYNAMIC extents and the
+    alignment computes over them inside the padded buffers (the static
+    path would use the padded — wrong — sizes)."""
     x = skip2d[:, :, :, None, :]  # (B, H, W, 1, C)
+    if true_2d is not None and true_3d is not None:
+        from multimodal_fusion_fpn_tpu.ops.dynamic_extent import (
+            adaptive_max_pool_dynamic, linear_resize_dynamic)
+        t_in = (true_2d.get("h"), true_2d.get("w"), None)
+        t_out = (true_3d.get("y"), true_3d.get("x"), None)
+        pads = (target_shape[0], target_shape[1], None)
+        if interpolate == "2d":
+            return linear_resize_dynamic(x, t_in, t_out, axes=(1, 2, 3),
+                                         out_pads=pads)
+        if interpolate == "2d_max":
+            return adaptive_max_pool_dynamic(x, t_in, t_out,
+                                             axes=(1, 2, 3),
+                                             max_ratio=16, out_pads=pads)
+        if interpolate is not None:
+            raise ValueError(f"Unknown interpolate mode: {interpolate}")
+        return x
     if interpolate == "2d":
         x = linear_resize(x, target_shape, axes=(1, 2, 3))
     elif interpolate == "2d_max":
@@ -71,59 +90,88 @@ class ModifiedUnet3D2D(nn.Module):
         Up = maybe_remat(UpBlockFusion, self.remat, train_argnum=4)
 
         # --- 2D encoder ---------------------------------------------------
+        from multimodal_fusion_fpn_tpu.models.blocks import (
+            current_valid, valid_extents)
+        from multimodal_fusion_fpn_tpu.models.encoder3d import (
+            pooled_ext, proj_depth_ext, run_3d_encoder)
+        root_ext = current_valid()
+        # the root context carries BOTH modalities' extents: (y, x, z)
+        # for the volume and (h, w) for the en-face map.
+        ext2d = ({k: v for k, v in root_ext.items() if k in ("h", "w")}
+                 if root_ext else None) or None
         skips2d = []
+        exts2d = []
         x2 = enface
         in_ch = enface.shape[-1]
         for lvl in range(n2d):
-            x2 = Stage(
-                ch[lvl], dropout=drop[lvl], use_bn=bn,
-                downsample=(in_ch != ch[lvl]), ndim=2, dtype=self.dtype,
-                name=f"conv{lvl + 1}_2d")(x2, train)
+            exts2d.append(ext2d)
+            with valid_extents(**(ext2d or {})):
+                x2 = Stage(
+                    ch[lvl], dropout=drop[lvl], use_bn=bn,
+                    downsample=(in_ch != ch[lvl]), ndim=2,
+                    dtype=self.dtype,
+                    name=f"conv{lvl + 1}_2d")(x2, train)
             skips2d.append(x2)
             if lvl < n2d - 1:
                 x2 = max_pool(x2, POOLS_2D[min(lvl, 3)])
+                ext2d = pooled_ext(ext2d, POOLS_2D[min(lvl, 3)],
+                                   names=("h", "w"))
             in_ch = ch[lvl]
 
         # --- 3D encoder (packed inter-stage plumbing) -----------------------
-        from multimodal_fusion_fpn_tpu.models.encoder3d import (
-            run_3d_encoder)
-        convs = run_3d_encoder(Stage, ch, drop, bn, self.dtype, volume,
-                               train, POOLS_3D)
+        ext3d_root = ({k: v for k, v in root_ext.items()
+                       if k in ("y", "x", "z")}
+                      if root_ext else None) or None
+        with valid_extents(**(ext3d_root or {})):
+            convs, exts = run_3d_encoder(Stage, ch, drop, bn, self.dtype,
+                                         volume, train, POOLS_3D)
 
         # --- 3D skips: depth projection + mean -----------------------------
         projected = []
         for lvl in range(5):
-            p = Proj(
-                ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
-                final_kernel=4, use_bn=bn, dropout=0.0, dtype=self.dtype,
-                packed_in=convs[lvl][1],
-                name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
-            p = jnp.mean(p, axis=3, keepdims=True)
+            with valid_extents(**(exts[lvl] or {})):
+                p = Proj(
+                    ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
+                    final_kernel=4, use_bn=bn, dropout=0.0,
+                    dtype=self.dtype, packed_in=convs[lvl][1],
+                    name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
+            zf = proj_depth_ext(exts[lvl], NUM_REDUCTIONS[lvl], 4)
+            if zf is not None:
+                p = jnp.sum(p, axis=3, keepdims=True) / zf.astype(p.dtype)
+            else:
+                p = jnp.mean(p, axis=3, keepdims=True)
             projected.append(p)
 
         # --- 2D skips: lift + align ----------------------------------------
         aligned2d = [
             align_2d_skip(skips2d[lvl], projected[lvl].shape[1:4],
-                          self.interpolate)
+                          self.interpolate,
+                          true_2d=exts2d[lvl], true_3d=exts[lvl])
             for lvl in range(min(n2d, 4))
         ]
 
         # --- decoder --------------------------------------------------------
         if self.levels == 5:
             bottom2d = align_2d_skip(skips2d[4], projected[4].shape[1:4],
-                                     self.interpolate)
+                                     self.interpolate,
+                                     true_2d=exts2d[4], true_3d=exts[4])
             deep = jnp.concatenate([projected[4], bottom2d], axis=-1)
         else:
             deep = projected[4]
 
         up = deep
         for i, lvl in enumerate((3, 2, 1, 0)):
-            up = Up(
-                ch[lvl], upfactor=UPFACTORS[i], mode=self.feature_fusion,
-                use_bn=bn, is_deconv=spec.is_deconv, dropout=drop[5 + i],
-                dtype=self.dtype,
-                name=f"up_concat{lvl + 1}")(
-                    projected[lvl], aligned2d[lvl], up, train)
+            dec_ext = ({k: v for k, v in exts[lvl].items()
+                        if k in ("y", "x")} if exts[lvl] else None)
+            with valid_extents(**(dec_ext or {})):
+                up = Up(
+                    ch[lvl], upfactor=UPFACTORS[i],
+                    mode=self.feature_fusion,
+                    use_bn=bn, is_deconv=spec.is_deconv,
+                    dropout=drop[5 + i],
+                    dtype=self.dtype,
+                    name=f"up_concat{lvl + 1}")(
+                        projected[lvl], aligned2d[lvl], up, train)
 
         return nn.Conv(self.n_classes, kernel_size=(1, 1, 1),
                        kernel_init=conv_kernel_init,

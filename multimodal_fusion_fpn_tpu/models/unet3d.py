@@ -46,10 +46,11 @@ class ModifiedUnet3D(nn.Module):
         Stage = maybe_remat(EncoderStage, self.remat)
         Proj = maybe_remat(ZDimReduction, self.remat)
         Up = maybe_remat(UpBlock2, self.remat, train_argnum=3)
+        from multimodal_fusion_fpn_tpu.models.blocks import valid_extents
         from multimodal_fusion_fpn_tpu.models.encoder3d import (
-            as_compact, run_3d_encoder)
-        convs = run_3d_encoder(Stage, ch, drop, bn, self.dtype, x, train,
-                               POOLS_3D)
+            as_compact, proj_depth_ext, run_3d_encoder)
+        convs, exts = run_3d_encoder(Stage, ch, drop, bn, self.dtype, x,
+                                     train, POOLS_3D)
 
         if self.classification:
             return as_compact(*convs[4])
@@ -57,22 +58,33 @@ class ModifiedUnet3D(nn.Module):
         final_kernel = 8 if self.original else 4
         projected = []
         for lvl in range(5):
-            p = Proj(
-                ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
-                final_kernel=final_kernel, use_bn=bn, dropout=0.0,
-                dtype=self.dtype, packed_in=convs[lvl][1],
-                name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
+            with valid_extents(**(exts[lvl] or {})):
+                p = Proj(
+                    ch[lvl], num_reductions=NUM_REDUCTIONS[lvl],
+                    final_kernel=final_kernel, use_bn=bn, dropout=0.0,
+                    dtype=self.dtype, packed_in=convs[lvl][1],
+                    name=f"zdimRed{lvl + 1}")(convs[lvl][0], train)
             if not self.original:
-                p = jnp.mean(p, axis=3, keepdims=True)
+                zf = proj_depth_ext(exts[lvl], NUM_REDUCTIONS[lvl],
+                                    final_kernel)
+                if zf is not None:
+                    p = jnp.sum(p, axis=3, keepdims=True) \
+                        / zf.astype(p.dtype)
+                else:
+                    p = jnp.mean(p, axis=3, keepdims=True)
             projected.append(p)
 
         up = projected[4]
         for i, lvl in enumerate((3, 2, 1, 0)):
-            up = Up(
-                ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
-                is_deconv=spec.is_deconv, dropout=drop[5 + i],
-                dtype=self.dtype,
-                name=f"up_concat{lvl + 1}")(projected[lvl], up, train)
+            dec_ext = dict(exts[lvl]) if exts[lvl] else None
+            if dec_ext is not None:
+                dec_ext.pop("z", None)  # depth is collapsed to 1
+            with valid_extents(**(dec_ext or {})):
+                up = Up(
+                    ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
+                    is_deconv=spec.is_deconv, dropout=drop[5 + i],
+                    dtype=self.dtype,
+                    name=f"up_concat{lvl + 1}")(projected[lvl], up, train)
 
         if self.use_1x1:
             up = nn.Conv(self.n_classes, kernel_size=(1, 1, 1),

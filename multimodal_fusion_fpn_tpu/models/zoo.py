@@ -46,6 +46,24 @@ def interpolate_from_crop(crop: str) -> Optional[str]:
     return interpolate
 
 
+
+
+def _bucket_ctx(batch):
+    """Exact-bucketing root context from the reserved batch keys
+    (eval harness, --eval-shape-bucket exact mode): "__valid_image__"
+    (3,) int32 true (D, H, W) of the reference input layout — device
+    keys (y, z, x) — and "__valid_enface__" (2,) true (H, W) — keys
+    (h, w).  Returns {} when absent (every hook becomes a no-op)."""
+    ext = {}
+    vv = batch.get("__valid_image__")
+    if vv is not None:
+        ext.update(y=vv[0], z=vv[1], x=vv[2])
+    ve = batch.get("__valid_enface__")
+    if ve is not None:
+        ext.update(h=ve[0], w=ve[1])
+    return ext
+
+
 @add_class
 class FPN(nn.Module):
     spec: ArchSpec
@@ -60,10 +78,12 @@ class FPN(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        from multimodal_fusion_fpn_tpu.models.blocks import valid_extents
         oct = volume_to_device(batch["image"].astype(self.dtype))
-        seg = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
-                             remat=self.remat, dtype=self.dtype,
-                             name="resensnet")(oct, train)
+        with valid_extents(**_bucket_ctx(batch)):
+            seg = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
+                                 remat=self.remat, dtype=self.dtype,
+                                 name="resensnet")(oct, train)
         seg = seg_from_device(seg)
         return {"prediction": self.last_activation(seg)}
 
@@ -113,15 +133,17 @@ class FPNHybridFusion(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        from multimodal_fusion_fpn_tpu.models.blocks import valid_extents
         oct = volume_to_device(batch["image"].astype(self.dtype))
         enface = enface_to_device(
             batch[self.fusion_modality].astype(self.dtype))
-        seg = ModifiedUnet3D2D(
-            self.spec, n_classes=self.n_classes,
-            interpolate=self.interpolate,
-            feature_fusion=self.feature_fusion, levels=5,
-            remat=self.remat, dtype=self.dtype,
-            name="resensnet")(oct, enface, train)
+        with valid_extents(**_bucket_ctx(batch)):
+            seg = ModifiedUnet3D2D(
+                self.spec, n_classes=self.n_classes,
+                interpolate=self.interpolate,
+                feature_fusion=self.feature_fusion, levels=5,
+                remat=self.remat, dtype=self.dtype,
+                name="resensnet")(oct, enface, train)
         seg = seg_from_device(seg)
         return {"prediction": self.last_activation(seg)}
 

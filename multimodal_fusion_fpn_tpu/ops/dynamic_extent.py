@@ -48,15 +48,18 @@ def masked_mean(x: jnp.ndarray, axis: int, n_true) -> jnp.ndarray:
 
 
 def _axis_adaptive_max_dynamic(x: jnp.ndarray, axis: int,
-                               n_true, m_true, max_ratio: int):
+                               n_true, m_true, max_ratio: int,
+                               m_pad: int = None):
     """torch adaptive_max_pool along one axis with DYNAMIC true
-    input/output extents inside the padded buffer.
+    input/output extents inside padded buffers.
 
     Output cell i < m_true maxes over [floor(i*n/m), ceil((i+1)*n/m))
     of the TRUE extent; cells i >= m_true are zero.  ``max_ratio``
-    bounds ceil(n_true/m_true) (static gather width)."""
+    bounds ceil(n_true/m_true) (static gather width); ``m_pad`` is the
+    padded OUTPUT extent (defaults to the input's)."""
     n_pad = x.shape[axis]
-    m_pad = x.shape[axis]  # output occupies the same padded extent
+    if m_pad is None:
+        m_pad = x.shape[axis]
     n = jnp.asarray(n_true, jnp.int32)
     m = jnp.asarray(m_true, jnp.int32)
     W = max_ratio + 1
@@ -86,22 +89,27 @@ def _axis_adaptive_max_dynamic(x: jnp.ndarray, axis: int,
 
 def adaptive_max_pool_dynamic(x: jnp.ndarray, true_in, true_out,
                               axes: Sequence[int],
-                              max_ratio: int = 8) -> jnp.ndarray:
+                              max_ratio: int = 8,
+                              out_pads: Sequence[int] = None
+                              ) -> jnp.ndarray:
     """Dynamic-extent twin of ``ops.pooling.adaptive_max_pool``: the
-    output lives in a buffer of the SAME padded shape, valid in
-    ``true_out``, zero beyond."""
-    for axis, n_t, m_t in zip(axes, true_in, true_out):
+    output lives in padded buffers (``out_pads`` per axis, default the
+    input's), valid in ``true_out``, zero beyond."""
+    out_pads = out_pads or [None] * len(axes)
+    for axis, n_t, m_t, mp in zip(axes, true_in, true_out, out_pads):
         if n_t is None:
             continue
-        x = _axis_adaptive_max_dynamic(x, axis, n_t, m_t, max_ratio)
+        x = _axis_adaptive_max_dynamic(x, axis, n_t, m_t, max_ratio, mp)
     return x
 
 
-def _axis_linear_dynamic(x: jnp.ndarray, axis: int, n_true, m_true):
+def _axis_linear_dynamic(x: jnp.ndarray, axis: int, n_true, m_true,
+                         m_pad: int = None):
     """torch align_corners=False linear resize along one axis with
-    dynamic true extents (output in the same padded buffer)."""
+    dynamic true extents inside padded buffers."""
     n_pad = x.shape[axis]
-    m_pad = x.shape[axis]
+    if m_pad is None:
+        m_pad = x.shape[axis]
     # coords = (i + 0.5) * n/m - 0.5 = ((2i+1)*n - m) / (2m): keep the
     # numerator INTEGER so floor and the lerp weight are exact (a
     # float32 n/m ratio drifts the boundary floors vs the static op).
@@ -127,12 +135,14 @@ def _axis_linear_dynamic(x: jnp.ndarray, axis: int, n_true, m_true):
 
 
 def linear_resize_dynamic(x: jnp.ndarray, true_in, true_out,
-                          axes: Sequence[int]) -> jnp.ndarray:
+                          axes: Sequence[int],
+                          out_pads: Sequence[int] = None) -> jnp.ndarray:
     """Dynamic-extent twin of ``ops.interpolate.linear_resize``."""
-    for axis, n_t, m_t in zip(axes, true_in, true_out):
+    out_pads = out_pads or [None] * len(axes)
+    for axis, n_t, m_t, mp in zip(axes, true_in, true_out, out_pads):
         if n_t is None:
             continue
-        x = _axis_linear_dynamic(x, axis, n_t, m_t)
+        x = _axis_linear_dynamic(x, axis, n_t, m_t, mp)
     return x
 
 

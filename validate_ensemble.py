@@ -58,12 +58,15 @@ def extend_parser(parser):
              "this path in fusion_nets.py:206-212 / test_utils.py:215).")
     parser.add_argument(
         "--eval-shape-bucket", type=int, default=0,
-        help="Bucket whole-volume eval shapes: zero-pad every spatial "
-             "dim up to the next multiple of this value (0 = off, the "
-             "bit-exact reference behavior) so N distinct RelFit shapes "
-             "hit a bounded set of XLA compilations.  Approximate: "
-             "boundary pixels within the receptive field of the pad "
-             "can differ (measured Dice delta ~1e-3; see PARITY.md).")
+        help="Pad eval volumes to multiples of this bucket so N "
+             "distinct RelFit shapes hit a bounded set of XLA "
+             "compilations (0 = off: every shape compiles its own "
+             "graph, bit-exact reference behavior).  EXACT for the "
+             "FPN / FPNHybridFusion families: the true extents travel "
+             "as dynamic scalars and the padded run reproduces the "
+             "unpadded prediction (tests/test_exact_bucketing.py); "
+             "FPN2D / FPNLateFusion remain approximate at the padded "
+             "boundary (see PARITY.md).")
     return parser
 
 
