@@ -75,6 +75,95 @@ def test_all_fail_returns_none():
     assert bench.run_bench(CONFIGS, run=run, sleep=_no_sleep) is None
 
 
+def test_deadline_stops_attempts():
+    """A past deadline must stop attempts immediately (round-3 lesson:
+    the retry loop blew through the driver budget and printed nothing)."""
+    import time
+    calls = []
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        raise RuntimeError("remote_compile HTTP 500")
+
+    past = time.monotonic() - 1.0
+    assert bench.run_bench(CONFIGS, run=run, sleep=_no_sleep,
+                           deadline=past) is None
+    assert calls == []  # nothing even attempted
+
+
+def test_deadline_bounds_retries():
+    """Deadline reached mid-config: no further retries, no fallback."""
+    import time
+    calls = []
+    deadline = time.monotonic() + 0.05
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        time.sleep(0.06)  # blow the deadline during the first attempt
+        raise RuntimeError("remote_compile HTTP 500")
+
+    best = bench.run_bench(CONFIGS, run=run, sleep=_no_sleep,
+                           deadline=deadline)
+    assert best is None
+    assert calls == ["bf16"]  # fp32 fallback never started
+
+
+def test_fallback_payload_marks_stale():
+    p = bench._fallback_payload("tunnel down")
+    assert p["stale"] is True
+    assert p["error"] == "tunnel down"
+    assert p["value"] == bench.LAST_VERIFIED["value"]
+    assert p["metric"] == "train_images_per_sec_per_chip"
+    assert "provenance" in p["detail"]
+
+
+def test_child_subprocess_roundtrip(monkeypatch):
+    """Parent must parse the child's tagged result/error lines and turn
+    a TimeoutExpired into a transient-classified RuntimeError."""
+    import subprocess
+    import types
+
+    def fake_run_ok(cmd, **kw):
+        return types.SimpleNamespace(
+            returncode=0, stderr="",
+            stdout="noise\n" + bench._RESULT_TAG
+                   + '{"img_s": 20.0, "dt": 0.2}\n')
+
+    monkeypatch.setattr(subprocess, "run", fake_run_ok)
+    assert bench._run_config_subprocess(4, "bf16", False, 10.0) == (20.0, 0.2)
+
+    def fake_run_err(cmd, **kw):
+        return types.SimpleNamespace(
+            returncode=1, stderr="",
+            stdout=bench._ERROR_TAG + '{"error": "RESOURCE_EXHAUSTED"}\n')
+
+    monkeypatch.setattr(subprocess, "run", fake_run_err)
+    try:
+        bench._run_config_subprocess(4, "bf16", False, 10.0)
+        raise AssertionError("should have raised")
+    except RuntimeError as exc:
+        assert not bench._is_transient(exc)  # OOM stays permanent
+
+    def fake_run_timeout(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout", 0))
+
+    monkeypatch.setattr(subprocess, "run", fake_run_timeout)
+    try:
+        bench._run_config_subprocess(4, "bf16", False, 10.0)
+        raise AssertionError("should have raised")
+    except RuntimeError as exc:
+        assert bench._is_transient(exc)  # hang == transient
+
+
+def test_emit_idempotent(capsys):
+    bench._emitted = False
+    bench._emit({"a": 1})
+    bench._emit({"a": 2})
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    bench._emitted = False
+
+
 def test_transient_classifier():
     assert bench._is_transient(RuntimeError("remote_compile HTTP 500"))
     assert bench._is_transient(RuntimeError("UNAVAILABLE: tunnel"))
