@@ -426,10 +426,15 @@ class ConvX(nn.Module):
         B, Y = x.shape[0], x.shape[1]
 
         def conv(inputs, scales, biases, w_shape, name, relu):
+            # out_stats: the kernel's epilogue returns the raw output's
+            # per-lane (sum, sum^2), saving the separate interior_stats
+            # full-buffer read; the backward folds the stats cotangent
+            # into the dx/dband kernel prologues (fused_conv.py r4).
             w = _ConvKernel(w_shape, name=name)()
             return fused_conv(inputs, scales, biases, w.astype(dt), X,
                               nb, bs, relu=relu,
-                              preferred_element_type=dt)
+                              preferred_element_type=dt,
+                              out_stats=True)
 
         def conv_narrow(w_shape, name):
             # raw conv from the compact layout, emitted DIRECTLY in the
@@ -445,6 +450,20 @@ class ConvX(nn.Module):
 
         def bn(y_raw, name):
             mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
+            return bn_fold(mean, var, name)
+
+        def bn_sums(s1, s2, name):
+            # fold the kernel-epilogue per-lane sums (1, bs*co) to
+            # per-logical-channel stats — same (slot, channel) lane
+            # order as interior_stats.
+            n_el = B * Y * X * nb * bs
+            s1c = s1.reshape(bs, co).sum(0)
+            s2c = s2.reshape(bs, co).sum(0)
+            mean = s1c / n_el
+            var = s2c / n_el - jnp.square(mean)
+            return bn_fold(mean, var, name)
+
+        def bn_fold(mean, var, name):
             s, b = _BNFold(co, name=name)(mean, var, train,
                                           n=B * Y * X * nb * bs)
             return (jnp.tile(s, bs).astype(dt),
@@ -456,10 +475,11 @@ class ConvX(nn.Module):
             w_shape = tuple(self.kernels[i]) + (ci, co)
             if i == 0 and narrow:
                 y = conv_narrow(w_shape, "conv0")
+                cur_s, cur_b = bn(y, f"bn{i}")
             else:
-                y = conv([cur], [cur_s], [cur_b], w_shape, f"conv{i}",
-                         relu=(i > 0))
-            cur_s, cur_b = bn(y, f"bn{i}")
+                y, s1, s2 = conv([cur], [cur_s], [cur_b], w_shape,
+                                 f"conv{i}", relu=(i > 0))
+                cur_s, cur_b = bn_sums(s1, s2, f"bn{i}")
             cur, ci = y, co
 
         out = cur * cur_s + cur_b
@@ -468,10 +488,11 @@ class ConvX(nn.Module):
                 wd_shape = (1,) * nsp + (ci0, co)
                 if narrow:
                     yd = conv_narrow(wd_shape, "ds_conv")
+                    sd, bd = bn(yd, "ds_bn")
                 else:
-                    yd = conv([xp], [None], [None], wd_shape, "ds_conv",
-                              relu=False)
-                sd, bd = bn(yd, "ds_bn")
+                    yd, sd1, sd2 = conv([xp], [None], [None], wd_shape,
+                                        "ds_conv", relu=False)
+                    sd, bd = bn_sums(sd1, sd2, "ds_bn")
                 out = out + yd * sd + bd
             else:
                 out = out + xp
@@ -752,11 +773,17 @@ class _FusedReduction(nn.Module):
             x_ds = x
             ds_strides = (1, 1, stride)
 
-        def bn(y_raw, c_nb, valid, name):
-            mean, var = interior_stats_slots(y_raw, X, c_nb, bs, valid,
-                                             B, Y)
-            s, b = _BNFold(co, name=name)(mean, var, train,
-                                          n=B * Y * X * c_nb * valid)
+        def bn_sums(s1, s2, c_nb, valid, name):
+            # kernel-epilogue per-lane sums: dead slots are structural
+            # zeros (band columns), so folding all bs slots is exact —
+            # only the divisor uses the true live count (invariant
+            # under merge_slots: it only rearranges live data).
+            n_el = B * Y * X * c_nb * valid
+            s1c = s1.reshape(bs, co).sum(0)
+            s2c = s2.reshape(bs, co).sum(0)
+            mean = s1c / n_el
+            var = s2c / n_el - jnp.square(mean)
+            s, b = _BNFold(co, name=name)(mean, var, train, n=n_el)
             return (jnp.tile(s, bs).astype(dt),
                     jnp.tile(b, bs).astype(dt))
 
@@ -770,16 +797,16 @@ class _FusedReduction(nn.Module):
         ci = ci0
         for i in range(r_fused):
             w = _ConvKernel((1, 1, 3, ci, co), name=f"conv{i}")()
-            y = fused_conv_strided([cur], [cur_s], [cur_b], w.astype(dt),
-                                   X, cur_nb, bs, valid_in=valid,
-                                   relu=(i > 0),
-                                   preferred_element_type=dt)
+            y, s1, s2 = fused_conv_strided(
+                [cur], [cur_s], [cur_b], w.astype(dt), X, cur_nb, bs,
+                valid_in=valid, relu=(i > 0),
+                preferred_element_type=dt, out_stats=True)
             valid //= 2
             if valid == bs // 2 and cur_nb % 2 == 0:
                 y = merge_slots(y, X, cur_nb, bs, valid)
                 cur_nb //= 2
                 valid = bs
-            cur_s, cur_b = bn(y, cur_nb, valid, f"bn{i}")
+            cur_s, cur_b = bn_sums(s1, s2, cur_nb, valid, f"bn{i}")
             cur, ci = y, co
 
         y_small = unpack_slots(cur, X, cur_nb, bs, valid)

@@ -217,14 +217,15 @@ def _roll_rows(v, shift: int):
     16-bit values round-trip through fp32 (one cheap VPU pass each way).
     """
     if v.dtype.itemsize == 4:
-        return pltpu.roll(v, shift, 0)
+        return pltpu.roll(v, shift, 0)  # mosaic-roll-ok: guarded itemsize==4
     return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
 
 
 def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
-            X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype):
+            X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
+            with_stats: bool = False):
     # operand order: per input i: kY slabs; then per input: scale, bias;
-    # then band [, wplus, wminus]; finally out_ref.
+    # then band [, wplus, wminus]; finally out_ref [, s1_ref, s2_ref].
     idx = 0
     x_refs = []
     for _ in range(n_in):
@@ -237,10 +238,25 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     band_ref = refs[idx]; idx += 1
     if kz == 3:
         wrap_ref = refs[idx]; idx += 1  # wplus + wminus (disjoint cols)
-    out_ref = refs[idx]
+    out_ref = refs[idx]; idx += 1
+    if with_stats:
+        # BN-stats epilogue (round 4, PERF.md roadmap 1): per-lane sum /
+        # sum-of-squares of the OUTPUT accumulated across grid steps,
+        # saving the separate full-buffer interior_stats read.  The TPU
+        # grid runs sequentially, so `+=` accumulators are safe (same
+        # pattern as the dx kernel's ds/db outputs).
+        s1_ref = refs[idx]; idx += 1
+        s2_ref = refs[idx]
 
     y = pl.program_id(1)
     RX = X * nb
+    if with_stats:
+        step = pl.program_id(0) * pl.num_programs(1) + y
+
+        @pl.when(step == 0)
+        def _():
+            s1_ref[...] = jnp.zeros_like(s1_ref)
+            s2_ref[...] = jnp.zeros_like(s2_ref)
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
     mrow = jax.lax.rem(rows_i, nb)
@@ -295,7 +311,14 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             part = part * vmask
         acc = part if acc is None else acc + part
 
-    out_ref[0, 0] = acc.astype(out_dtype)
+    yv = acc.astype(out_dtype)
+    out_ref[0, 0] = yv
+    if with_stats:
+        # stats of the ROUNDED output (what interior_stats would read
+        # back from HBM), accumulated in fp32.
+        yf = yv.astype(jnp.float32)
+        s1_ref[...] += jnp.sum(yf, axis=0, keepdims=True)
+        s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
 def fused_conv_pallas(xs, scales, biases, w, X: int, nb: int, bs: int,
@@ -313,7 +336,8 @@ def fused_conv_pallas(xs, scales, biases, w, X: int, nb: int, bs: int,
 def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
                             kY: int, kX: int, X: int, nb: int, bs: int,
                             relu: bool, preferred_element_type,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            with_stats: bool = False):
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
     ci = CC // bs
@@ -354,17 +378,27 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
 
     kern = functools.partial(
         _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
-        relu=relu, Y=Y, out_dtype=preferred_element_type)
+        relu=relu, Y=Y, out_dtype=preferred_element_type,
+        with_stats=with_stats)
 
+    y_spec = pl.BlockSpec((1, 1, RX, bs * co), lambda b, y: (b, y, 0, 0),
+                          memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((B, Y, RX, bs * co),
+                                   preferred_element_type)
+    if with_stats:
+        acc_spec = pl.BlockSpec((1, bs * co), lambda b, y: (0, 0),
+                                memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((1, bs * co), jnp.float32)
+        out_specs = (y_spec, acc_spec, acc_spec)
+        out_shape = (y_shape, acc_shape, acc_shape)
+    else:
+        out_specs, out_shape = y_spec, y_shape
     return pl.pallas_call(
         kern,
         grid=(B, Y),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 1, RX, bs * co),
-                               lambda b, y: (b, y, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Y, RX, bs * co),
-                                       preferred_element_type),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
@@ -511,6 +545,32 @@ def _run_impl(cfg, xs, scales, biases, band, wplus, wminus):
         kY, kX, X, nb, bs, relu, pet)
 
 
+def _stats_of(y):
+    """(1, CCo) fp32 per-lane sum / sum-of-squares of a thick-layout
+    output — the XLA twin of the kernel's stats epilogue."""
+    yf = y.astype(jnp.float32)
+    return (jnp.sum(yf, axis=(0, 1, 2)).reshape(1, -1),
+            jnp.sum(yf * yf, axis=(0, 1, 2)).reshape(1, -1))
+
+
+def _run_impl_ws(cfg, xs, scales, biases, band, wplus, wminus):
+    """Like :func:`_run_impl` but also returns the output's per-lane
+    (sum, sum-of-squares) — fused into the kernel epilogue on the
+    Pallas path, an XLA reduction on the ref path."""
+    kY, kX, X, nb, bs, relu, pet_name, impl = cfg[:8]
+    pet = jnp.dtype(pet_name).type
+    if _use_pallas_impl(impl):
+        return _fused_conv_pallas_mats(
+            list(xs), list(scales), list(biases), band, wplus, wminus,
+            kY, kX, X, nb, bs, relu, pet, interpret=_INTERPRET,
+            with_stats=True)
+    y = _fused_conv_ref_mats(
+        list(xs), list(scales), list(biases), band, wplus, wminus,
+        kY, kX, X, nb, bs, relu, pet)
+    s1, s2 = _stats_of(y)
+    return y, s1, s2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _fused_op(cfg, xs, scales, biases, band, wplus, wminus):
     return _run_impl(cfg, xs, scales, biases, band, wplus, wminus)
@@ -522,6 +582,14 @@ def _fused_fwd(cfg, xs, scales, biases, band, wplus, wminus):
 
 
 def _fused_bwd(cfg, res, g):
+    return _fused_bwd_impl(cfg, res, g)
+
+
+def _fused_bwd_impl(cfg, res, g, stats_cot=None):
+    """Shared backward body.  ``stats_cot`` = (y_out, gs1, gs2) threads
+    the output-stats cotangent (g_total = g + gs1 + 2*y*gs2) into the
+    dx/dband kernel PROLOGUES instead of materializing g_total in HBM
+    (only set on the Pallas path — the caller pre-folds otherwise)."""
     kY, kX, X, nb, bs, relu, pet_name, impl, wp_slots, wm_slots = cfg
     xs, scales, biases, band, wplus, wminus = res
     B, Y, RX, CC = xs[0].shape
@@ -544,7 +612,7 @@ def _fused_bwd(cfg, res, g):
             list(xs), list(scales), list(biases), g, bandT, wplusT,
             wminusT, kY, kX, X, nb, bs, relu,
             head_block=wm_slots[0], tail_block=wp_slots[0],
-            interpret=_INTERPRET)
+            interpret=_INTERPRET, stats_cot=stats_cot)
         dscales = [None if s is None else dss[i]
                    for i, s in enumerate(scales)]
         dbiases = [None if b is None else db_sum for b in biases]
@@ -617,7 +685,7 @@ def _fused_bwd(cfg, res, g):
         res_k = _dband_pallas(list(xs), list(scales), list(biases), g,
                               kY, kX, X, nb, bs, relu,
                               want_wrap=(wplus is not None),
-                              interpret=_INTERPRET)
+                              interpret=_INTERPRET, stats_cot=stats_cot)
         if wplus is not None:
             dband, dwplus_k, dwminus_k = res_k
         else:
@@ -669,13 +737,57 @@ def _fused_bwd(cfg, res, g):
 _fused_op.defvjp(_fused_fwd, _fused_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_op_ws(cfg, xs, scales, biases, band, wplus, wminus):
+    return _run_impl_ws(cfg, xs, scales, biases, band, wplus, wminus)
+
+
+def _fused_ws_fwd(cfg, xs, scales, biases, band, wplus, wminus):
+    y, s1, s2 = _run_impl_ws(cfg, xs, scales, biases, band, wplus,
+                             wminus)
+    # y is saved for the stats cotangent (gs2 needs 2*y) — it is the
+    # op's own output, alive downstream anyway, so XLA shares the
+    # buffer: no extra HBM.
+    return (y, s1, s2), (xs, scales, biases, band, wplus, wminus, y)
+
+
+def _fused_ws_bwd(cfg, res, gs):
+    xs, scales, biases, band, wplus, wminus = res[:6]
+    y = res[6]
+    gy, gs1, gs2 = gs
+    res0 = (xs, scales, biases, band, wplus, wminus)
+    kY = cfg[0]
+    if _use_pallas_impl(cfg[7]):
+        if kY == 1:
+            # zero-materialization path: the dx/dband kernels fold
+            # g_total = gy + gs1 + 2*y*gs2 in their prologues (y rides
+            # along as one extra slab read; saves the full g_total
+            # write + build reads).
+            return _fused_bwd_impl(cfg, res0, gy,
+                                   stats_cot=(y, gs1, gs2))
+        # kY>1: the dx kernel reads kY neighbour g-slabs — folding
+        # in-kernel would read kY y-slabs too (net worse); pre-fold.
+    gt = (gy.astype(jnp.float32) + gs1.reshape(-1)
+          + 2.0 * y.astype(jnp.float32) * gs2.reshape(-1)
+          ).astype(gy.dtype)
+    return _fused_bwd_impl(cfg, res0, gt)
+
+
+_fused_op_ws.defvjp(_fused_ws_fwd, _fused_ws_bwd)
+
+
 def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
                relu: bool = True, preferred_element_type=jnp.float32,
-               impl: str = "auto") -> jnp.ndarray:
+               impl: str = "auto", out_stats: bool = False):
     """Differentiable fused affine+ReLU+conv on the thick layout.
 
     ``impl``: 'pallas' (TPU kernel), 'ref' (pure XLA), 'auto' (pallas on
     TPU backends, ref elsewhere).
+
+    ``out_stats``: additionally return the output's per-lane (1, bs*co)
+    fp32 (sum, sum-of-squares) — fused into the kernel epilogue, saving
+    the separate interior_stats read; the backward folds the stats
+    cotangent into the dx/dband kernel prologues (kY==1).
     """
     kY, kX, kz, ci, co = w.shape
     band, wplus, wminus = _band_wrap_matrices(w, bs)
@@ -683,8 +795,15 @@ def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
            jnp.dtype(preferred_element_type).name, impl,
            (bs - 1, 0), (0, bs - 1))
     if _SPACE is not None:
-        return _fused_op_sharded(cfg, tuple(xs), tuple(scales),
-                                 tuple(biases), band, wplus, wminus)
+        y = _fused_op_sharded(cfg, tuple(xs), tuple(scales),
+                              tuple(biases), band, wplus, wminus)
+        if out_stats:
+            s1, s2 = _stats_of(y)
+            return y, s1, s2
+        return y
+    if out_stats:
+        return _fused_op_ws(cfg, tuple(xs), tuple(scales),
+                            tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
 
@@ -745,17 +864,28 @@ def _band_wrap_strided(w: jnp.ndarray, bs: int, valid_in: int):
 def fused_conv_strided(xs, scales, biases, w, X: int, nb: int, bs: int,
                        valid_in: int, relu: bool = True,
                        preferred_element_type=jnp.float32,
-                       impl: str = "auto") -> jnp.ndarray:
+                       impl: str = "auto", out_stats: bool = False):
     """Differentiable stride-2 z-conv on the padded thick layout (slots
     j >= valid_in are ignored on input; output occupies j < valid_in//2).
+
+    ``out_stats``: also return per-lane (sum, sum^2) of the output —
+    structural-zero slots contribute nothing, so the sums are exact;
+    the caller divides by the true count (as interior_stats_slots does).
     """
     band, wplus, wminus = _band_wrap_strided(w, bs, valid_in)
     cfg = (1, 1, X, nb, bs, bool(relu),
            jnp.dtype(preferred_element_type).name, impl,
            (valid_in - 1, 0), (0, bs - 1))
     if _SPACE is not None:
-        return _fused_op_sharded(cfg, tuple(xs), tuple(scales),
-                                 tuple(biases), band, wplus, wminus)
+        y = _fused_op_sharded(cfg, tuple(xs), tuple(scales),
+                              tuple(biases), band, wplus, wminus)
+        if out_stats:
+            s1, s2 = _stats_of(y)
+            return y, s1, s2
+        return y
+    if out_stats:
+        return _fused_op_ws(cfg, tuple(xs), tuple(scales),
+                            tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
 
@@ -816,7 +946,7 @@ def interior_stats_slots(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
 
 def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
                   X: int, nb: int, bs: int, relu: bool, Y: int,
-                  want_wrap: bool):
+                  want_wrap: bool, with_gstats: bool = False):
     idx = 0
     x_refs = []
     for _ in range(n_in):
@@ -827,6 +957,10 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
         sb_refs.append((refs[idx], refs[idx + 1]))
         idx += 2
     g_ref = refs[idx]; idx += 1
+    if with_gstats:
+        yst_ref = refs[idx]; idx += 1
+        gs1_ref = refs[idx]; idx += 1
+        gs2_ref = refs[idx]; idx += 1
     out_ref = refs[idx]; idx += 1
     if want_wrap:
         wp_ref = refs[idx]; idx += 1
@@ -843,6 +977,13 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
     tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
 
     gm = g_ref[0, 0]
+    if with_gstats:
+        # fold g_total = g + gs1 + 2*y*gs2 on the resident slab (the
+        # dband kernel only ever reads the CENTER g slab, so this works
+        # for any kY).
+        yf = yst_ref[0, 0].astype(jnp.float32)
+        gm = (gm.astype(jnp.float32) + gs1_ref[:]
+              + 2.0 * yf * gs2_ref[:]).astype(gm.dtype)
     if want_wrap:
         head_m = mrow != 0
         tail_m = mrow != nb - 1
@@ -894,7 +1035,8 @@ def _dband_kernel(*refs, n_in: int, kY: int, kX: int,
 
 def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
                   X: int, nb: int, bs: int, relu: bool,
-                  want_wrap: bool = False, interpret: bool = False):
+                  want_wrap: bool = False, interpret: bool = False,
+                  stats_cot=None):
     """(kY*kX, CC, CCo) band cotangent via the accumulating kernel;
     with ``want_wrap`` also the (full, unprojected) wplus/wminus
     cotangents — the weight-expansion pullback outside the custom-VJP
@@ -929,10 +1071,21 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
     in_specs.append(pl.BlockSpec((1, 1, RX, CCo),
                                  lambda b, y: (b, y, 0, 0),
                                  memory_space=pltpu.VMEM))
+    if stats_cot is not None:
+        y_out, gs1, gs2 = stats_cot
+        ops.append(y_out)
+        in_specs.append(pl.BlockSpec((1, 1, RX, CCo),
+                                     lambda b, y: (b, y, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        for v in (gs1, gs2):
+            ops.append(v.astype(jnp.float32).reshape(1, CCo))
+            in_specs.append(pl.BlockSpec((1, CCo), lambda b, y: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     kern = functools.partial(_dband_kernel, n_in=n_in, kY=kY, kX=kX,
                              X=X, nb=nb, bs=bs, relu=relu, Y=Y,
-                             want_wrap=want_wrap)
+                             want_wrap=want_wrap,
+                             with_gstats=stats_cot is not None)
     nt = kY * kX
     o_spec = pl.BlockSpec((nt, CC, CCo), lambda b, y: (0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -965,10 +1118,12 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
 
 def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
-               head_block: int, tail_block: int):
+               head_block: int, tail_block: int,
+               with_gstats: bool = False):
     # operands: per fwd-input i: 1 center slab; then per i: scale, bias;
-    # g: kY slabs; bandT [, wrapT]; outputs: n_in dx slabs, n_in ds
-    # accumulators, 1 db accumulator.
+    # g: kY slabs; [y_out slab, gs1, gs2 when with_gstats];
+    # bandT [, wrapT]; outputs: n_in dx slabs, n_in ds accumulators,
+    # 1 db accumulator.
     idx = 0
     x_refs = [refs[idx + i] for i in range(n_in)]
     idx += n_in
@@ -978,6 +1133,10 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         idx += 2
     g_refs = [refs[idx + d] for d in range(kY)]
     idx += kY
+    if with_gstats:
+        yst_ref = refs[idx]; idx += 1
+        gs1_ref = refs[idx]; idx += 1
+        gs2_ref = refs[idx]; idx += 1
     band_ref = refs[idx]; idx += 1
     if kz == 3:
         wrap_ref = refs[idx]; idx += 1
@@ -1023,6 +1182,13 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     dt = None
     for dy in range(kY):
         gv = g_refs[dy][0, 0]
+        if with_gstats:
+            # output-stats cotangent folded in VMEM:
+            # g_total = g + gs1 + 2*y*gs2  (kY==1 only — asserted by
+            # the caller; a kY>1 fold would read kY y-slabs).
+            yf = yst_ref[0, 0].astype(jnp.float32)
+            gv = (gv.astype(jnp.float32) + gs1_ref[:]
+                  + 2.0 * yf * gs2_ref[:]).astype(gv.dtype)
         if kY > 1:
             yy = y + dy - kY // 2
             vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
@@ -1074,7 +1240,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
 def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
                kY: int, kX: int, X: int, nb: int, bs: int, relu: bool,
                head_block: int = 0, tail_block: int = None,
-               interpret: bool = False):
+               interpret: bool = False, stats_cot=None):
     """Transposed conv + epilogue: returns ([dx_i...], [ds_i...], db)
     with dx_i ALREADY scaled by s_i, ds/db as (CC,) fp32 sums.
 
@@ -1112,6 +1278,17 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
             (1, 1, RX, CCg),
             lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1), 0, 0),
             memory_space=pltpu.VMEM))
+    if stats_cot is not None:
+        assert kY == 1, "stats-cot fold needs the single-g-slab form"
+        y_out, gs1, gs2 = stats_cot
+        ops.append(y_out)
+        in_specs.append(pl.BlockSpec((1, 1, RX, CCg),
+                                     lambda b, y: (b, y, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        for v in (gs1, gs2):
+            ops.append(v.astype(jnp.float32).reshape(1, CCg))
+            in_specs.append(pl.BlockSpec((1, CCg), lambda b, y: (0, 0),
+                                         memory_space=pltpu.VMEM))
 
     nt = bandT.shape[0]
     w_spec = pl.BlockSpec((nt, CCg, CC), lambda b, y: (0, 0, 0),
@@ -1125,7 +1302,7 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     kern = functools.partial(
         _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
-        tail_block=tail_block)
+        tail_block=tail_block, with_gstats=stats_cot is not None)
 
     slab_spec = pl.BlockSpec((1, 1, RX, CC), lambda b, y: (b, y, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -165,3 +165,99 @@ def test_banded_conv_blocked_pallas_interpret():
         y_ref = banded._banded_conv_blocked_impl(x6, w, jnp.float32)
         np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# out_stats (BN-stats kernel epilogue + stats-cotangent prologue, round 4)
+# ---------------------------------------------------------------------------
+
+def _grads_ws(impl, xs, scales, biases, w, relu=True):
+    """Scalar loss exercising y AND the stats outputs the way blocks.py
+    does (mean/var fold into the next conv's affine)."""
+    co = w.shape[-1]
+
+    def loss(xs, scales, biases, w):
+        y, s1, s2 = fc.fused_conv(xs, scales, biases, w, X, nb, bs,
+                                  relu=relu, impl=impl, out_stats=True)
+        n = y.size // co
+        s1c = s1.reshape(bs, co).sum(0)
+        s2c = s2.reshape(bs, co).sum(0)
+        mean = s1c / n
+        var = s2c / n - jnp.square(mean)
+        l = (jnp.sum(y.astype(jnp.float32) ** 2)
+             + jnp.sum(mean * 3.0) + jnp.sum(var * 0.5))
+        return l, (y, s1, s2)
+
+    (l, aux), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                     has_aux=True)(xs, scales, biases, w)
+    return aux, g
+
+
+def _grads_unfused_stats(impl, xs, scales, biases, w, relu=True):
+    """The pre-round-4 composition: fused_conv + interior_stats-style
+    XLA reduction — the parity oracle for the ws op."""
+    co = w.shape[-1]
+
+    def loss(xs, scales, biases, w):
+        y = fc.fused_conv(xs, scales, biases, w, X, nb, bs,
+                          relu=relu, impl=impl)
+        yf = y.astype(jnp.float32)
+        s1 = jnp.sum(yf, axis=(0, 1, 2)).reshape(1, -1)
+        s2 = jnp.sum(yf * yf, axis=(0, 1, 2)).reshape(1, -1)
+        n = y.size // co
+        s1c = s1.reshape(bs, co).sum(0)
+        s2c = s2.reshape(bs, co).sum(0)
+        mean = s1c / n
+        var = s2c / n - jnp.square(mean)
+        l = (jnp.sum(yf ** 2)
+             + jnp.sum(mean * 3.0) + jnp.sum(var * 0.5))
+        return l, (y, s1, s2)
+
+    (l, aux), g = jax.value_and_grad(loss, argnums=(0, 1, 2, 3),
+                                     has_aux=True)(xs, scales, biases, w)
+    return aux, g
+
+
+@pytest.mark.parametrize("kshape", [(1, 3, 3), (3, 1, 1), (1, 1, 1)])
+@pytest.mark.parametrize("relu", [True, False])
+def test_out_stats_parity_pallas(kshape, relu):
+    """ws kernels (stats epilogue fwd; stats-cot prologue in dx/dband
+    for kY==1, XLA pre-fold for kY==3) vs the unfused composition."""
+    xs, scales, biases, w = _mk(4, 4, kshape, jnp.float32,
+                                seed=11 + sum(kshape) + relu)
+    aux_ref, g_ref = _grads_unfused_stats("pallas", xs, scales, biases,
+                                          w, relu=relu)
+    aux_ws, g_ws = _grads_ws("pallas", xs, scales, biases, w, relu=relu)
+    for a, b in zip(aux_ws, aux_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    _assert_tree_close(g_ws, g_ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kshape", [(1, 3, 3), (3, 1, 1)])
+def test_out_stats_parity_ref_impl(kshape):
+    """The XLA twin of the ws op (CPU 'auto' dispatch) must match the
+    unfused composition too."""
+    xs, scales, biases, w = _mk(4, 4, kshape, jnp.float32, seed=23)
+    aux_ref, g_ref = _grads_unfused_stats("ref", xs, scales, biases, w)
+    aux_ws, g_ws = _grads_ws("ref", xs, scales, biases, w)
+    for a, b in zip(aux_ws, aux_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    # grads differ only by fp32 association order of
+    # gy + gs1 + 2y*gs2 (pre-fold vs autodiff accumulation)
+    _assert_tree_close(g_ws, g_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_out_stats_bf16_path():
+    """bf16 end-to-end through the ws kernels (the dtype the flagship
+    trains in) — values against the ref twin at bf16 tolerances."""
+    xs, scales, biases, w = _mk(4, 4, (1, 3, 3), jnp.bfloat16, seed=31)
+    aux_p, g_p = _grads_ws("pallas", xs, scales, biases, w)
+    aux_r, g_r = _grads_ws("ref", xs, scales, biases, w)
+    for a, b in zip(aux_p, aux_r):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+    # bf16 rounding of two valid accumulation orders: a few ulp apart
+    _assert_tree_close(g_p, g_r, rtol=8e-2, atol=8e-2)
