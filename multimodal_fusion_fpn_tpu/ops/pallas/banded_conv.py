@@ -137,8 +137,8 @@ def _kernel(xp_ref, band_ref, wrap_ref, out_ref, slab, sems, *,
                 # p[r, :co] is row r's tail contribution to row r+1's
                 # head; p[r, (bs-1)*co:] is row r's head contribution to
                 # row r-1's tail.
-                head = pltpu.roll(p, 1, 0)
-                tail = pltpu.roll(p, rows_out - 1, 0)
+                head = pltpu.roll(p, 1, 0)  # mosaic-roll-ok: p is acc_dtype=fp32
+                tail = pltpu.roll(p, rows_out - 1, 0)  # mosaic-roll-ok: fp32
                 acc = acc + jnp.where(head_mask, head, 0)
                 acc = acc + jnp.where(tail_mask, tail, 0)
     out_ref[0, 0] = acc.astype(out_ref.dtype)
