@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-root", type=str, default=None,
                         help="Override the dataset root directory used by "
                              "the dataset configs.")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume an interrupted run from the last "
+                             "epoch-boundary resume.ckpt in the run dir "
+                             "(exact: params, BN stats, optimizer state, "
+                             "early-stopping state; extension over the "
+                             "reference's restart-from-scratch).")
     return parser
 
 

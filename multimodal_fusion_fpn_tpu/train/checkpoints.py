@@ -62,6 +62,20 @@ class TopKCheckpointer:
     def _better(self, a: float, b: float) -> bool:
         return a > b if self.mode == "max" else a < b
 
+    def restore(self) -> int:
+        """Rebuild the top-k ledger from checkpoints already on disk
+        (exact resume): filenames carry (epoch, monitor value)."""
+        self.saved = []
+        pat = join(self.dirpath, f"epoch=*-{self.monitor}=*.ckpt")
+        for path in sorted(glob.glob(pat)):
+            stem = os.path.basename(path)[:-len(".ckpt")]
+            try:
+                value = float(stem.split(f"{self.monitor}=")[1])
+            except (IndexError, ValueError):
+                continue
+            self.saved.append((value, path))
+        return len(self.saved)
+
     def update(self, epoch: int, value: float,
                tree: Dict[str, Any]) -> Optional[str]:
         """Maybe save a checkpoint for this epoch; prune beyond top-k."""

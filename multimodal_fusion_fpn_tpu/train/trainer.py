@@ -192,11 +192,24 @@ class Trainer:
         return results
 
     # ------------------------------------------------------------------
-    def fit(self, state: TrainState, train_loader, val_loader):
+    def fit(self, state: TrainState, train_loader, val_loader,
+            start_epoch: int = 0, early_state=None):
+        """Run the epoch loop.  ``start_epoch``/``early_state`` support
+        exact epoch-boundary resume (train.py --resume): the step RNG is
+        stateless (PRNGKey(seed) folded with epoch/step) and the loader
+        reshuffles deterministically per epoch, so a restored state
+        reproduces the uninterrupted trajectory bit-for-bit."""
         best = None
         patience_left = self.early_stopping
+        if early_state is not None:
+            best = early_state.get("best")
+            patience_left = early_state.get("patience_left",
+                                            patience_left)
+        if start_epoch > 0:
+            self.checkpointer.restore()
+            self.curves.load(upto=start_epoch)
         try:
-            for epoch in range(self.epochs):
+            for epoch in range(start_epoch, self.epochs):
                 state = self._train_epoch(state, train_loader, epoch)
 
                 train_results = {k: float(m.get())
@@ -240,7 +253,25 @@ class Trainer:
                         if patience_left <= 0:
                             print(f"Early stopping at epoch {epoch}")
                             break
+                self._save_resume(state, epoch, best, patience_left)
         except KeyboardInterrupt:
             self.interrupted = True
             print("Training interrupted")
         return state
+
+    def _save_resume(self, state: TrainState, epoch: int, best,
+                     patience_left) -> None:
+        """Epoch-boundary resume checkpoint (exact resume; consumed by
+        train.py --resume, deleted on successful completion)."""
+        from multimodal_fusion_fpn_tpu.train.checkpoints import \
+            save_checkpoint
+        save_checkpoint(join(self.model_path, "resume.ckpt"), {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step),
+            "next_epoch": np.asarray(epoch + 1),
+            "best": np.asarray(np.nan if best is None else best),
+            "patience_left": np.asarray(
+                -1 if patience_left is None else patience_left),
+        })

@@ -68,6 +68,18 @@ class CurvePlotter:
     def append(self, key: str, value: float):
         self.curves.setdefault(key, []).append(float(value))
 
+    def load(self, upto: int = None):
+        """Restore history from a previous run's curves.json (exact
+        resume); ``upto`` truncates each series to that many epochs."""
+        path = join(self.model_path, "curves.json")
+        try:
+            with open(path) as f:
+                saved = json.load(f)
+        except FileNotFoundError:
+            return
+        for k, v in saved.items():
+            self.curves[k] = list(v)[:upto] if upto is not None else list(v)
+
     def save(self):
         if not self.metric_figures:
             return

@@ -106,8 +106,36 @@ def main(config, data_config, model_path, training_file_list,
         seed=config.seed,
         mesh=mesh, bn_sync=config.bn_sync)
 
+    start_epoch, early_state = 0, None
+    resume_path = join(model_path, "resume.ckpt")
+    if getattr(config, "resume", False) and Path(resume_path).exists():
+        # Exact epoch-boundary resume: restore params/BN/optimizer/step
+        # plus the early-stopping ledger; the stateless step RNG and the
+        # per-epoch loader reshuffle make the continued trajectory
+        # bit-identical to an uninterrupted run (tests/test_resume.py).
+        print("Resuming from", resume_path)
+        tree = load_checkpoint(resume_path,
+                               {"params": state.params,
+                                "batch_stats": state.batch_stats,
+                                "opt_state": state.opt_state,
+                                "step": np.asarray(state.step),
+                                "next_epoch": np.asarray(0),
+                                "best": np.asarray(0.0),
+                                "patience_left": np.asarray(-1)})
+        state = state.replace(params=tree["params"],
+                              batch_stats=tree["batch_stats"],
+                              opt_state=tree["opt_state"],
+                              step=jnp.asarray(tree["step"]))
+        start_epoch = int(tree["next_epoch"])
+        best = float(tree["best"])
+        pl = int(tree["patience_left"])
+        early_state = {"best": None if np.isnan(best) else best,
+                       "patience_left": None if pl < 0 else pl}
+        print(f"Resumed at epoch {start_epoch} (step {int(tree['step'])})")
+
     print("===> Begin training")
-    state = trainer.fit(state, train_loader, val_loader)
+    state = trainer.fit(state, train_loader, val_loader,
+                        start_epoch=start_epoch, early_state=early_state)
 
     if trainer.interrupted:
         print("Training interrupted")
@@ -120,6 +148,8 @@ def main(config, data_config, model_path, training_file_list,
                          "batch_stats": state.batch_stats,
                          "opt_state": state.opt_state,
                          "step": np.asarray(state.step)})
+        if Path(resume_path).exists():
+            os.remove(resume_path)
 
 
 def train_with_split(config, data_config, split, idx, split_path):
