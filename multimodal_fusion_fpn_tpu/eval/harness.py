@@ -151,14 +151,14 @@ def _bucket_pad(batch: Dict, bucket: int) -> Dict:
     for whole-volume eval (RelFit emits per-image shapes) — and attach
     the TRUE extents as the reserved "__valid_*__" keys.
 
-    Models that consume the keys (the FPN / FPNHybridFusion families)
-    evaluate EXACTLY: every conv/BN output is re-masked and the
-    size-dependent ops (pool extents, projection depth means, the
-    2D->3D alignment) compute over the true extents
-    (tests/test_exact_bucketing.py proves equality with the unbucketed
-    run).  Models that ignore them (FPN2D, FPNLateFusion) remain
-    approximate at the padded boundary.  The prediction is cropped back
-    before metrics either way."""
+    All four seg families (FPN, FPNHybridFusion, FPN2D, FPNLateFusion
+    and their Regression variants) consume the keys and evaluate
+    EXACTLY: every conv/BN output is re-masked and the size-dependent
+    ops (pool extents, projection depth means, the 2D->3D/feature
+    alignments, FPN2D's final mask-shape resize) compute over the true
+    extents (tests/test_exact_bucketing.py proves equality with the
+    unbucketed run, model-level and through this function).  The
+    prediction is cropped back before metrics either way."""
     out = dict(batch)
     for k in ("image", "slo", "faf"):
         v = out.get(k)
@@ -222,7 +222,12 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
 
         model_in = model_batch(batch)
         if shape_bucket:
-            true_yx = (batch["image"].shape[2], batch["image"].shape[4])
+            # metrics run against the (never padded) mask, so its shape
+            # is the true prediction extent; fall back to the volume's
+            # for mask-less batches.  (The image key alone is wrong for
+            # comp-only configs, where it is Disabled to a singleton.)
+            ref_arr = batch.get("mask", batch.get("image"))
+            true_yx = (ref_arr.shape[2], ref_arr.shape[4])
             model_in = _bucket_pad(model_in, shape_bucket)
         if use_hd_device:
             sp = (np.asarray(batch["spacing"][0],
@@ -233,7 +238,7 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
         else:
             output = ensemble_step(stacked_params, stacked_bs, model_in)
         output = {k: np.asarray(v) for k, v in output.items()}
-        if shape_bucket:
+        if shape_bucket and output["prediction"].ndim == 5:
             output["prediction"] = \
                 output["prediction"][:, :, :true_yx[0], :, :true_yx[1]]
 

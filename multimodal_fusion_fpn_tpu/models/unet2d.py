@@ -39,32 +39,57 @@ class ModifiedUnet2D(nn.Module):
 
         Stage = maybe_remat(EncoderStage, self.remat)
         Up = maybe_remat(UpBlock2, self.remat, train_argnum=3)
+
+        # Exact bucketing (round 4, VERDICT r3 #4): thread the en-face
+        # TRUE extents ('h', 'w' in the root context) through encoder
+        # pools; the 5D-lifted decoder's (3,3,1) convs see them under
+        # the volume names ('y', 'x') — same machinery as the hybrid
+        # fusion net (models/fusion.py).
+        from multimodal_fusion_fpn_tpu.models.blocks import (
+            current_valid, valid_extents)
+        from multimodal_fusion_fpn_tpu.models.encoder3d import pooled_ext
+        root_ext = current_valid()
+        ext2d = ({k: v for k, v in root_ext.items() if k in ("h", "w")}
+                 if root_ext else None) or None
+        exts2d = []
         skips = []
         x = enface
         in_ch = enface.shape[-1]
         for lvl in range(self.levels):
-            x = Stage(
-                ch[lvl], dropout=drop[lvl], use_bn=bn,
-                downsample=(in_ch != ch[lvl]), ndim=2, dtype=self.dtype,
-                name=f"conv{lvl + 1}_2d")(x, train)
+            exts2d.append(ext2d)
+            with valid_extents(**(ext2d or {})):
+                x = Stage(
+                    ch[lvl], dropout=drop[lvl], use_bn=bn,
+                    downsample=(in_ch != ch[lvl]), ndim=2,
+                    dtype=self.dtype,
+                    name=f"conv{lvl + 1}_2d")(x, train)
             skips.append(x)
             if lvl < self.levels - 1:
                 x = max_pool(x, POOLS_2D[min(lvl, 3)])
+                ext2d = pooled_ext(ext2d, POOLS_2D[min(lvl, 3)],
+                                   names=("h", "w"))
             in_ch = ch[lvl]
 
         # Lift 2D skips to 5D (depth 1): reference unets2D.py:124-127.
         skips = [s[:, :, :, None, :] for s in skips]
+
+        def dec_ext(lvl):
+            e = exts2d[lvl]
+            if not e:
+                return {}
+            return {("y" if k == "h" else "x"): v for k, v in e.items()}
 
         up = skips[-1]
         # Decoder levels: Level5 uses up_concat4..1; base uses up_concat3..1.
         start = self.levels - 2  # deepest skip index to fuse
         for lvl in range(start, -1, -1):
             i = 3 - lvl  # index into UPFACTORS: up_concat{lvl+1}
-            up = Up(
-                ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
-                is_deconv=spec.is_deconv, dropout=drop[5 + i],
-                dtype=self.dtype,
-                name=f"up_concat{lvl + 1}")(skips[lvl], up, train)
+            with valid_extents(**dec_ext(lvl)):
+                up = Up(
+                    ch[lvl], upfactor=UPFACTORS[i], use_bn=bn,
+                    is_deconv=spec.is_deconv, dropout=drop[5 + i],
+                    dtype=self.dtype,
+                    name=f"up_concat{lvl + 1}")(skips[lvl], up, train)
 
         if self.output_features:
             return up

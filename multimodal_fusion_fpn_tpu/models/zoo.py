@@ -165,14 +165,29 @@ class FPN2D(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        from multimodal_fusion_fpn_tpu.models.blocks import valid_extents
+        ctx = _bucket_ctx(batch)
         enface = enface_to_device(
             batch[self.fusion_modality].astype(self.dtype))
-        seg = ModifiedUnet2D(self.spec, n_classes=self.n_classes, levels=5,
-                             remat=self.remat, dtype=self.dtype,
-                             name="resensnet")(enface, train)
+        with valid_extents(**ctx):
+            seg = ModifiedUnet2D(self.spec, n_classes=self.n_classes,
+                                 levels=5, remat=self.remat,
+                                 dtype=self.dtype,
+                                 name="resensnet")(enface, train)
         seg = seg_from_device(seg)
         seg = nn.sigmoid(seg)
-        if "mask" in batch and seg.shape != batch["mask"].shape:
+        if ctx.get("h") is not None:
+            # Exact bucketing: resize from the TRUE extents inside the
+            # padded buffer to the (unpadded) mask resolution.  When the
+            # true extents already equal the target the dynamic map is
+            # the identity — matching the reference's skip-if-equal.
+            from multimodal_fusion_fpn_tpu.ops.dynamic_extent import \
+                linear_resize_dynamic
+            tgt = batch["mask"].shape[2:]
+            seg = linear_resize_dynamic(
+                seg, (ctx["h"], None, ctx["w"]), tgt, axes=(2, 3, 4),
+                out_pads=tgt)
+        elif "mask" in batch and seg.shape != batch["mask"].shape:
             # Trilinear resize to the mask resolution
             # (reference fusion_nets.py:143-146).
             seg = linear_resize(seg, batch["mask"].shape[2:], axes=(2, 3, 4))
@@ -194,23 +209,47 @@ class FPNLateFusion(nn.Module):
 
     @nn.compact
     def __call__(self, batch, train: bool = False):
+        from multimodal_fusion_fpn_tpu.models.blocks import valid_extents
+        ctx = _bucket_ctx(batch)
         oct = volume_to_device(batch["image"].astype(self.dtype))
-        oct_feat = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
-                                  use_1x1=False, remat=self.remat,
-                                  dtype=self.dtype,
-                                  name="resensnet3d")(oct, train)
+        with valid_extents(**ctx):
+            oct_feat = ModifiedUnet3D(self.spec, n_classes=self.n_classes,
+                                      use_1x1=False, remat=self.remat,
+                                      dtype=self.dtype,
+                                      name="resensnet3d")(oct, train)
         oct_feat = seg_from_device(oct_feat)  # (B, C0, Y, 1, X)
 
         enface = enface_to_device(
             batch[self.fusion_modality].astype(self.dtype))
-        fused_feat = ModifiedUnet2D(self.spec, n_classes=self.n_classes,
-                                    output_features=True, levels=5,
-                                    remat=self.remat, dtype=self.dtype,
-                                    name="resensnet2d")(enface, train)
+        with valid_extents(**ctx):
+            fused_feat = ModifiedUnet2D(self.spec,
+                                        n_classes=self.n_classes,
+                                        output_features=True, levels=5,
+                                        remat=self.remat, dtype=self.dtype,
+                                        name="resensnet2d")(enface, train)
         fused_feat = seg_from_device(fused_feat)  # (B, C0, H2, 1, W2)
 
         target = oct_feat.shape[2:]
-        if self.interpolate == "2d":
+        if ctx.get("h") is not None or ctx.get("y") is not None:
+            # Exact bucketing: align the 2D branch over the TRUE extents
+            # inside the padded buffers (the static ops would use the
+            # padded — wrong — sizes).  A modality that needed no
+            # padding contributes its static shape as the true extent.
+            from multimodal_fusion_fpn_tpu.ops.dynamic_extent import (
+                adaptive_max_pool_dynamic, linear_resize_dynamic)
+            t_in = (ctx.get("h", fused_feat.shape[2]), None,
+                    ctx.get("w", fused_feat.shape[4]))
+            t_out = (ctx.get("y", target[0]), None,
+                     ctx.get("x", target[2]))
+            pads = (target[0], None, target[2])
+            if self.interpolate == "2d":
+                fused_feat = linear_resize_dynamic(
+                    fused_feat, t_in, t_out, axes=(2, 3, 4), out_pads=pads)
+            elif self.interpolate == "2d_max":
+                fused_feat = adaptive_max_pool_dynamic(
+                    fused_feat, t_in, t_out, axes=(2, 3, 4),
+                    max_ratio=16, out_pads=pads)
+        elif self.interpolate == "2d":
             fused_feat = linear_resize(fused_feat, target, axes=(2, 3, 4))
         elif self.interpolate == "2d_max":
             fused_feat = adaptive_max_pool(fused_feat, target, axes=(2, 3, 4))

@@ -1,11 +1,11 @@
 """Whole-volume eval shape bucketing (--eval-shape-bucket).
 
 Bucketing pads model inputs to multiples of the bucket so N distinct
-RelFit shapes hit a bounded set of compilations.  It is deliberately
-approximate (the fusion models' adaptive pooling / interpolation are
-global-size dependent, so exactness is impossible — PARITY.md); these
-tests pin the mechanics and measure that the metric perturbation at a
-typical whole-volume shape is small.
+RelFit shapes hit a bounded set of compilations.  Since round 3/4 the
+bucketed run is EXACT for all four seg families — the true extents
+travel as dynamic scalars (tests/test_exact_bucketing.py).  These tests
+pin the padding mechanics themselves and the (historical) bound on the
+perturbation when a model ignores the extent keys.
 """
 
 import jax

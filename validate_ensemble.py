@@ -57,16 +57,18 @@ def extend_parser(parser):
              "(saved as features.png per image; the reference sketches "
              "this path in fusion_nets.py:206-212 / test_utils.py:215).")
     parser.add_argument(
-        "--eval-shape-bucket", type=int, default=0,
+        "--eval-shape-bucket", type=int, default=64,
         help="Pad eval volumes to multiples of this bucket so N "
              "distinct RelFit shapes hit a bounded set of XLA "
              "compilations (0 = off: every shape compiles its own "
-             "graph, bit-exact reference behavior).  EXACT for the "
-             "FPN / FPNHybridFusion families: the true extents travel "
-             "as dynamic scalars and the padded run reproduces the "
-             "unpadded prediction (tests/test_exact_bucketing.py); "
-             "FPN2D / FPNLateFusion remain approximate at the padded "
-             "boundary (see PARITY.md).")
+             "graph — on axon that is a minutes-long remote compile "
+             "PER DISTINCT SHAPE).  EXACT for all four seg families "
+             "(FPN / FPNHybridFusion / FPN2D / FPNLateFusion + "
+             "Regression variants): the true extents travel as dynamic "
+             "scalars and the padded run reproduces the unpadded "
+             "prediction bit-for-bit on the valid region "
+             "(tests/test_exact_bucketing.py, incl. an end-to-end "
+             "harness check).  Default 64 since round 4.")
     return parser
 
 
