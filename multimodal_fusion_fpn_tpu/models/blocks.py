@@ -425,16 +425,20 @@ class ConvX(nn.Module):
             xp = None if narrow else pack(x, bs)
         B, Y = x.shape[0], x.shape[1]
 
+        # out_stats: the kernel's epilogue returns the raw output's
+        # per-lane (sum, sum^2), saving the separate interior_stats
+        # full-buffer read; the backward folds the stats cotangent
+        # into the dx/dband kernel prologues (fused_conv.py r4).
+        # MMF_FUSED_STATS=0 keeps the old separate-read path for
+        # on-chip A/Bs.
+        use_ws = _os.environ.get("MMF_FUSED_STATS", "1") != "0"
+
         def conv(inputs, scales, biases, w_shape, name, relu):
-            # out_stats: the kernel's epilogue returns the raw output's
-            # per-lane (sum, sum^2), saving the separate interior_stats
-            # full-buffer read; the backward folds the stats cotangent
-            # into the dx/dband kernel prologues (fused_conv.py r4).
             w = _ConvKernel(w_shape, name=name)()
             return fused_conv(inputs, scales, biases, w.astype(dt), X,
                               nb, bs, relu=relu,
                               preferred_element_type=dt,
-                              out_stats=True)
+                              out_stats=use_ws)
 
         def conv_narrow(w_shape, name):
             # raw conv from the compact layout, emitted DIRECTLY in the
@@ -476,10 +480,14 @@ class ConvX(nn.Module):
             if i == 0 and narrow:
                 y = conv_narrow(w_shape, "conv0")
                 cur_s, cur_b = bn(y, f"bn{i}")
-            else:
+            elif use_ws:
                 y, s1, s2 = conv([cur], [cur_s], [cur_b], w_shape,
                                  f"conv{i}", relu=(i > 0))
                 cur_s, cur_b = bn_sums(s1, s2, f"bn{i}")
+            else:
+                y = conv([cur], [cur_s], [cur_b], w_shape, f"conv{i}",
+                         relu=(i > 0))
+                cur_s, cur_b = bn(y, f"bn{i}")
             cur, ci = y, co
 
         out = cur * cur_s + cur_b
@@ -489,10 +497,14 @@ class ConvX(nn.Module):
                 if narrow:
                     yd = conv_narrow(wd_shape, "ds_conv")
                     sd, bd = bn(yd, "ds_bn")
-                else:
+                elif use_ws:
                     yd, sd1, sd2 = conv([xp], [None], [None], wd_shape,
                                         "ds_conv", relu=False)
                     sd, bd = bn_sums(sd1, sd2, "ds_bn")
+                else:
+                    yd = conv([xp], [None], [None], wd_shape, "ds_conv",
+                              relu=False)
+                    sd, bd = bn(yd, "ds_bn")
                 out = out + yd * sd + bd
             else:
                 out = out + xp
@@ -773,6 +785,8 @@ class _FusedReduction(nn.Module):
             x_ds = x
             ds_strides = (1, 1, stride)
 
+        use_ws = _os.environ.get("MMF_FUSED_STATS", "1") != "0"
+
         def bn_sums(s1, s2, c_nb, valid, name):
             # kernel-epilogue per-lane sums: dead slots are structural
             # zeros (band columns), so folding all bs slots is exact —
@@ -787,6 +801,14 @@ class _FusedReduction(nn.Module):
             return (jnp.tile(s, bs).astype(dt),
                     jnp.tile(b, bs).astype(dt))
 
+        def bn_slots(y_raw, c_nb, valid, name):
+            mean, var = interior_stats_slots(y_raw, X, c_nb, bs, valid,
+                                             B, Y)
+            s, b = _BNFold(co, name=name)(mean, var, train,
+                                          n=B * Y * X * c_nb * valid)
+            return (jnp.tile(s, bs).astype(dt),
+                    jnp.tile(b, bs).astype(dt))
+
         # After each stride-2 level the live slots halve; whenever the
         # block count is even, merge block PAIRS back to dense full-slot
         # blocks (merge_slots) so every later level's dots run on a
@@ -797,16 +819,20 @@ class _FusedReduction(nn.Module):
         ci = ci0
         for i in range(r_fused):
             w = _ConvKernel((1, 1, 3, ci, co), name=f"conv{i}")()
-            y, s1, s2 = fused_conv_strided(
+            res = fused_conv_strided(
                 [cur], [cur_s], [cur_b], w.astype(dt), X, cur_nb, bs,
                 valid_in=valid, relu=(i > 0),
-                preferred_element_type=dt, out_stats=True)
+                preferred_element_type=dt, out_stats=use_ws)
+            y, s1, s2 = res if use_ws else (res, None, None)
             valid //= 2
             if valid == bs // 2 and cur_nb % 2 == 0:
                 y = merge_slots(y, X, cur_nb, bs, valid)
                 cur_nb //= 2
                 valid = bs
-            cur_s, cur_b = bn_sums(s1, s2, cur_nb, valid, f"bn{i}")
+            if use_ws:
+                cur_s, cur_b = bn_sums(s1, s2, cur_nb, valid, f"bn{i}")
+            else:
+                cur_s, cur_b = bn_slots(y, cur_nb, valid, f"bn{i}")
             cur, ci = y, co
 
         y_small = unpack_slots(cur, X, cur_nb, bs, valid)

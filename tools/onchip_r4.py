@@ -1,0 +1,158 @@
+#!/usr/bin/env python3
+"""Round-4 on-chip measurement batch (idempotent, tunnel-outage-aware).
+
+Runs, each in a bounded subprocess, appending one JSON line per result
+to --log (default /tmp/onchip_r4.jsonl) so a tunnel drop mid-batch
+loses only the phase in flight (CLAUDE.md: keep on-chip scripts
+idempotent and re-runnable; completed phases are skipped on re-run):
+
+  1. train A/B: bf16 B=4 full step, MMF_FUSED_STATS=1 vs 0
+     (the round-4 BN-stats kernel fusion).
+  2. batch sweep: bf16 B=6 (no remat), B=8 (remat) on the winner.
+  3. eval throughput: 5-member vmapped ensemble + fused device HD at a
+     whole-volume shape (VERDICT r3 item 9) — images/sec including the
+     per-image dispatch+fetch.
+
+Usage:  python tools/onchip_r4.py [--only PHASE] [--timeout S]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TRAIN_PHASES = [
+    # name, B, prec, remat, MMF_FUSED_STATS
+    ("train_b4_bf16_ws", 4, "bf16", False, "1"),
+    ("train_b4_bf16_nows", 4, "bf16", False, "0"),
+    ("train_b6_bf16_ws", 6, "bf16", False, "1"),
+    ("train_b8_bf16_remat_ws", 8, "bf16", True, "1"),
+]
+
+EVAL_CODE = r"""
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from multimodal_fusion_fpn_tpu.config import make_config
+from multimodal_fusion_fpn_tpu.models.zoo import build_model
+from multimodal_fusion_fpn_tpu.train.optim import sgd
+from multimodal_fusion_fpn_tpu.train.state import create_train_state
+from multimodal_fusion_fpn_tpu.train.step import (make_ensemble_eval_step,
+                                                  model_batch)
+from multimodal_fusion_fpn_tpu.eval.harness import stack_ensemble
+
+# whole-volume-ish eval shape (RelFit multiples of 16): 48 B-scans x
+# 496 depth x 192 width, en-face 208x192 — close to real HRF volumes.
+Y, Z, X = 48, 496, 192
+EH, EW = 208, 192
+rng = np.random.default_rng(0)
+batch = {
+    "image": rng.normal(size=(1, 1, Y, Z, X)).astype(np.float32),
+    "slo": rng.normal(size=(1, 1, EH, 1, EW)).astype(np.float32),
+    "mask": (rng.random((1, 1, Y, 1, X)) > 0.7).astype(np.float32),
+}
+cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                  fusion_modality="slo", training_dataset="hrf_fusion")
+model = build_model(cfg, dtype=jnp.float32, remat=False)
+mb = model_batch(batch)
+st = create_train_state(model, sgd(0.1), jax.random.PRNGKey(0), mb)
+members = [{"params": st.params, "batch_stats": st.batch_stats}
+           for _ in range(5)]
+sp = stack_ensemble([m["params"] for m in members])
+sb = stack_ensemble([m["batch_stats"] for m in members])
+step = make_ensemble_eval_step(model, with_hd=True)
+spacing = np.asarray([0.12, 0.012], np.float32)
+dev_in = jax.device_put(mb)
+out = step(sp, sb, dev_in, spacing)
+_ = float(np.asarray(out["__device_hd95__"]))  # compile + run
+n = 10
+t0 = time.time()
+for i in range(n):
+    out = step(sp, sb, dev_in, spacing)
+    hd = float(np.asarray(out["__device_hd95__"]))  # fetch per image
+dt = (time.time() - t0) / n
+print("ONCHIP_RESULT " + json.dumps({
+    "phase": "eval_ensemble5_hd", "ms_per_image": round(dt * 1000, 1),
+    "img_per_s": round(1.0 / dt, 2),
+    "shape": [Y, Z, X], "enface": [EH, EW], "hd95_value": hd}))
+"""
+
+TRAIN_CODE = r"""
+import json, sys
+sys.path.insert(0, {repo!r})
+import bench
+img_s, dt = bench._run_config({B}, {prec!r}, {remat})
+print("ONCHIP_RESULT " + json.dumps({{
+    "phase": {name!r}, "img_per_s": round(img_s, 2),
+    "ms_per_step": round(dt * 1000, 1), "fused_stats": {ws!r}}}))
+"""
+
+
+def done_phases(log):
+    done = set()
+    if os.path.exists(log):
+        with open(log) as f:
+            for line in f:
+                try:
+                    done.add(json.loads(line)["phase"])
+                except (ValueError, KeyError):
+                    pass
+    return done
+
+
+def run_phase(name, code, env_extra, timeout, log):
+    env = dict(os.environ, **env_extra)
+    t0 = time.time()
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True,
+                              timeout=timeout, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        print(f"# {name}: TIMEOUT after {timeout}s", file=sys.stderr)
+        return False
+    sys.stderr.write((proc.stderr or "")[-1500:])
+    for line in (proc.stdout or "").splitlines():
+        if line.startswith("ONCHIP_RESULT "):
+            rec = json.loads(line[len("ONCHIP_RESULT "):])
+            rec["wall_s"] = round(time.time() - t0, 1)
+            with open(log, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+            print(json.dumps(rec))
+            return True
+    print(f"# {name}: no result (rc={proc.returncode}) "
+          f"{(proc.stdout or '')[-300:]!r}", file=sys.stderr)
+    return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default="/tmp/onchip_r4.jsonl")
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--timeout", type=float, default=1500.0)
+    ap.add_argument("--redo", action="store_true")
+    args = ap.parse_args()
+
+    done = set() if args.redo else done_phases(args.log)
+    for name, B, prec, remat, ws in TRAIN_PHASES:
+        if args.only and args.only != name:
+            continue
+        if name in done:
+            print(f"# {name}: already done, skipping")
+            continue
+        code = TRAIN_CODE.format(repo=REPO, B=B, prec=prec, remat=remat,
+                                 name=name, ws=ws)
+        run_phase(name, code, {"MMF_FUSED_STATS": ws}, args.timeout,
+                  args.log)
+    if (not args.only or args.only == "eval_ensemble5_hd") \
+            and "eval_ensemble5_hd" not in done:
+        run_phase("eval_ensemble5_hd", EVAL_CODE, {}, args.timeout,
+                  args.log)
+    print(f"# results in {args.log}")
+
+
+if __name__ == "__main__":
+    main()
