@@ -162,3 +162,31 @@ def test_projection_cascade_parity(z, num_reductions, monkeypatch):
         np.testing.assert_allclose(np.asarray(a) / scale,
                                    np.asarray(b) / scale,
                                    rtol=0, atol=2e-4)
+
+
+def test_grad_parity_under_remat():
+    """jax.checkpoint around the fused stage replays the ws custom-VJP
+    forward during the backward (the bench's B=8 remat config depends
+    on this): gradients must match the un-rematted fused run exactly."""
+    from multimodal_fusion_fpn_tpu.models.blocks import maybe_remat
+    _, x = _stage_and_input()
+    set_fused_stage_mode("on")
+    StageR = maybe_remat(EncoderStage, True)
+    stage_r = StageR(8, downsample=True, ndim=3)
+    stage = EncoderStage(8, downsample=True, ndim=3)
+    vs = stage.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod, params):
+        # train passed POSITIONALLY: nn.remat static_argnums counts
+        # positional args only (the production call sites do the same)
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]}, x,
+            True, mutable=["batch_stats"])
+        return jnp.sum(out * jnp.cos(out))
+
+    g_plain = jax.grad(lambda p: loss(stage, p))(vs["params"])
+    g_remat = jax.grad(lambda p: loss(stage_r, p))(vs["params"])
+    for a, b in zip(jax.tree.leaves(g_remat), jax.tree.leaves(g_plain)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    set_fused_stage_mode("auto")
