@@ -217,13 +217,35 @@ def mask_to_valid(x):
     return mask_valid(x, extents) if extents else x
 
 
+def stage_dyn_extents(train: bool):
+    """The (yt, xt, zt) dynamic extents for the FUSED eval path under
+    exact bucketing, or None when the per-op path must run (training,
+    no/partial context, or a space mesh).  Round 4: bucketed eval keeps
+    the fused kernels — their prologues re-zero beyond the true extents
+    (fused_conv.fused_conv_dyn)."""
+    if train:
+        return None
+    ext = current_valid()
+    if not ext or any(k not in ext for k in ("y", "x", "z")):
+        return None
+    from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as fc
+    if fc._SPACE is not None:
+        return None
+    return (ext["y"], ext["x"], ext["z"])
+
+
 def fused_stage_bs(z: int, features: int, use_bn: bool, dropout: float,
-                   ndim: int) -> Optional[int]:
+                   ndim: int, dynamic_ok: bool = False) -> Optional[int]:
     """The fused-chain block size an EncoderStage will pick for a given
     depth extent — or None when the stage runs the per-op path.  Shared
     by the stage itself and by the packed-encoder plumbing (the caller
-    must predict whether a stage's output is packed and at which bs)."""
-    if not _fused_active() or current_valid():
+    must predict whether a stage's output is packed and at which bs).
+
+    ``dynamic_ok``: an exact-bucketing context does not force the
+    per-op path (the caller runs the extent-masked eval kernels)."""
+    if not _fused_active():
+        return None
+    if current_valid() and not dynamic_ok:
         return None
     if ndim != 3 or features > 64:
         return None
@@ -391,7 +413,7 @@ class ConvX(nn.Module):
         return None
 
     def _fused_packed(self, x, X: int, nb: int, bs: int, train: bool,
-                      input_packed: bool):
+                      input_packed: bool, dyn=None):
         """Fused-chain lowering on the padded thick layout (see
         ops/pallas/fused_conv.py): each conv is one kernel invocation
         computing conv(relu(affine(prev_raw))); BatchNorm is folded into
@@ -406,7 +428,10 @@ class ConvX(nn.Module):
         """
         from multimodal_fusion_fpn_tpu.ops.banded import banded_conv
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
-            fused_conv, interior_stats, pack)
+            fused_conv, fused_conv_dyn, interior_stats, mask_packed_dyn,
+            pack)
+        assert dyn is None or not train, \
+            "dynamic-extent fused path is eval-only"
         n = len(self.kernels)
         co = self.features
         dt = self.dtype
@@ -430,11 +455,19 @@ class ConvX(nn.Module):
         # full-buffer read; the backward folds the stats cotangent
         # into the dx/dband kernel prologues (fused_conv.py r4).
         # MMF_FUSED_STATS=0 keeps the old separate-read path for
-        # on-chip A/Bs.
-        use_ws = _os.environ.get("MMF_FUSED_STATS", "1") != "0"
+        # on-chip A/Bs.  Under dynamic extents (bucketed eval) the
+        # extent-masked kernels run instead and the batch stats are
+        # never consumed (eval uses the running averages).
+        use_ws = (dyn is None
+                  and _os.environ.get("MMF_FUSED_STATS", "1") != "0")
 
         def conv(inputs, scales, biases, w_shape, name, relu):
             w = _ConvKernel(w_shape, name=name)()
+            if dyn is not None:
+                return fused_conv_dyn(inputs, scales, biases,
+                                      w.astype(dt), X, nb, bs, dyn,
+                                      relu=relu,
+                                      preferred_element_type=dt)
             return fused_conv(inputs, scales, biases, w.astype(dt), X,
                               nb, bs, relu=relu,
                               preferred_element_type=dt,
@@ -453,6 +486,12 @@ class ConvX(nn.Module):
                                packed_out=True)
 
         def bn(y_raw, name):
+            if dyn is not None:
+                # eval under dynamic extents: only the RUNNING stats
+                # feed the affine — skip the batch-stat reduction (it
+                # would also be polluted by the padding).
+                z = jnp.zeros((co,), jnp.float32)
+                return bn_fold(z, z, name)
             mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
             return bn_fold(mean, var, name)
 
@@ -508,8 +547,14 @@ class ConvX(nn.Module):
                 out = out + yd * sd + bd
             else:
                 out = out + xp
+        out = nn.relu(out)
+        if dyn is not None:
+            # the affine epilogue re-introduces bias garbage beyond the
+            # true extents; per-op consumers (pools, projections, the
+            # next stage's prologue recheck) assume masked buffers.
+            out = mask_packed_dyn(out, X, nb, bs, dyn)
         # padless layout: every row is real data, no interior re-mask
-        return nn.relu(out)
+        return out
 
     def _ext_after(self, ext, kernel, strides, padding):
         """Advance the true-extent dict through one conv (standard conv
@@ -527,8 +572,10 @@ class ConvX(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, packed_meta=None):
         if packed_meta is not None:
-            X, nb, bs, input_packed = packed_meta
-            return self._fused_packed(x, X, nb, bs, train, input_packed)
+            X, nb, bs, input_packed = packed_meta[:4]
+            dyn = packed_meta[4] if len(packed_meta) > 4 else None
+            return self._fused_packed(x, X, nb, bs, train, input_packed,
+                                      dyn=dyn)
         ndim_spatial = len(self.kernels[0])
         bias_init = conv_bias_init_for_rank(ndim_spatial)
         bs = self._blocked_block_size(x)
@@ -634,23 +681,29 @@ class EncoderStage(nn.Module):
     packed_in: Optional[Tuple[int, int, int]] = None
     keep_packed: bool = False
 
-    def _fused_eligible(self, x) -> Optional[int]:
+    def _fused_eligible(self, x, train: bool = False):
         """The fused-chain lowering applies under the same conditions as
         the blocked fast path (3D, narrow channels, dividing z) plus
-        BN-on / dropout-off (BN folding is what the fusion exploits)."""
+        BN-on / dropout-off (BN folding is what the fusion exploits).
+        Returns (bs, dyn_extents) — dyn is the (yt, xt, zt) tuple when
+        the stage runs the extent-masked EVAL kernels under exact
+        bucketing, else None."""
         if self.packed_in is not None:
             X, nb, bs_in = self.packed_in
             z = nb * bs_in
         elif x.ndim == 5:
             X, z = x.shape[2], x.shape[3]
         else:
-            return None
+            return None, None
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
             active_space_shards)
         if X % active_space_shards() != 0:
-            return None
-        return fused_stage_bs(z, self.features, self.use_bn,
-                              self.dropout, self.ndim)
+            return None, None
+        dyn = stage_dyn_extents(train)
+        bs = fused_stage_bs(z, self.features, self.use_bn,
+                            self.dropout, self.ndim,
+                            dynamic_ok=dyn is not None)
+        return bs, (dyn if bs is not None else None)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -666,7 +719,7 @@ class EncoderStage(nn.Module):
             k_b = ((1, 3), (1, 3), (3, 1))
             p_b = ((0, 1), (0, 1), (1, 0))
             ones = (1, 1)
-        bs = self._fused_eligible(x)
+        bs, dyn = self._fused_eligible(x, train)
         block0 = ConvX(self.features, kernels=k_a, strides=(ones,) * 2,
                        paddings=p_a, use_bn=self.use_bn, residual=True,
                        dropout=self.dropout, downsample=self.downsample,
@@ -686,12 +739,14 @@ class EncoderStage(nn.Module):
                     xin, nb = retarget_bs(x, X, nb_in, bs_in, bs)
                 else:
                     xin, nb = x, nb_in
-                xp = block0(xin, train, packed_meta=(X, nb, bs, True))
+                xp = block0(xin, train,
+                            packed_meta=(X, nb, bs, True, dyn))
             else:
                 B, Y, X, Z, _ = x.shape
                 nb = Z // bs
-                xp = block0(x, train, packed_meta=(X, nb, bs, False))
-            xp = block1(xp, train, packed_meta=(X, nb, bs, True))
+                xp = block0(x, train,
+                            packed_meta=(X, nb, bs, False, dyn))
+            xp = block1(xp, train, packed_meta=(X, nb, bs, True, dyn))
             if self.keep_packed:
                 return xp
             return unpack(xp, X, nb, bs)

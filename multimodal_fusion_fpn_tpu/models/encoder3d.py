@@ -21,6 +21,7 @@ from typing import Any, List, Optional, Tuple
 from multimodal_fusion_fpn_tpu.models.blocks import (current_valid,
                                                      fused_stage_bs,
                                                      max_pool,
+                                                     stage_dyn_extents,
                                                      valid_extents)
 
 Meta = Optional[Tuple[int, int, int]]  # (X, nb, bs) when packed
@@ -62,8 +63,12 @@ def run_3d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
             z = nb_in * bs_in
         else:
             X, z = cur.shape[2], cur.shape[3]
+        # mirror EncoderStage._fused_eligible: under exact bucketing
+        # the EVAL path keeps the fused (extent-masked) kernels
+        with valid_extents(**(ext or {})):
+            dyn_ok = stage_dyn_extents(train) is not None
         bs_lvl = fused_stage_bs(z, channels[lvl], use_bn, dropout[lvl],
-                                ndim=3)
+                                ndim=3, dynamic_ok=dyn_ok)
         if bs_lvl is not None:
             # mirror EncoderStage's space gate exactly (the helper must
             # predict the stage's packed/compact decision)

@@ -144,9 +144,42 @@ def _affine_t(xs, scales, biases, relu):
     return t
 
 
+def dyn_valid_mask(X: int, nb: int, bs: int, ci: int, dyn_extents,
+                   with_y: int = 0):
+    """(RX, bs*ci) validity of a padless thick buffer under dynamic
+    true extents (yt, xt, zt); with ``with_y`` also returns the
+    (with_y,) y-axis mask."""
+    yt, xt, zt = dyn_extents
+    RX = X * nb
+    rows = jnp.arange(RX, dtype=jnp.int32)[:, None]
+    lane = jnp.arange(bs * ci, dtype=jnp.int32)[None, :]
+    zslot = jax.lax.rem(rows, nb) * bs + lane // ci
+    valid = jnp.logical_and(rows // nb < jnp.asarray(xt, jnp.int32),
+                            zslot < jnp.asarray(zt, jnp.int32))
+    if with_y:
+        ym = (jnp.arange(with_y, dtype=jnp.int32)
+              < jnp.asarray(yt, jnp.int32))
+        return valid, ym
+    return valid
+
+
+def mask_packed_dyn(v: jnp.ndarray, X: int, nb: int, bs: int,
+                    dyn_extents) -> jnp.ndarray:
+    """Zero a packed thick buffer (B, Y, RX, bs*C) beyond the true
+    (yt, xt, zt) extents — the packed-layout twin of
+    blocks.mask_to_valid, used by the fused eval path's stage
+    epilogues."""
+    B, Y, RX, CC = v.shape
+    valid, ym = dyn_valid_mask(X, nb, bs, CC // bs, dyn_extents,
+                               with_y=Y)
+    m = jnp.logical_and(valid[None, None], ym[None, :, None, None])
+    return jnp.where(m, v, jnp.zeros((), v.dtype))
+
+
 def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
                          kY: int, kX: int, X: int, nb: int, bs: int,
-                         relu: bool, preferred_element_type):
+                         relu: bool, preferred_element_type,
+                         dyn_extents=None):
     """Pure-XLA fused conv on band/wrap matrices (the autodiff-closed
     form used by the custom-VJP boundary and on CPU)."""
     B, Y, RX, CC = xs[0].shape
@@ -158,6 +191,11 @@ def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
     tap_m = {0: to(maskL), 1: None, 2: to(maskR)}
 
     t = _affine_t(xs, scales, biases, relu)
+    if dyn_extents is not None:
+        valid, ym = dyn_valid_mask(X, nb, bs, CC // bs, dyn_extents,
+                                   with_y=Y)
+        m = jnp.logical_and(valid[None, None], ym[None, :, None, None])
+        t = jnp.where(m, t, jnp.zeros((), t.dtype))
     py = kY // 2
     tp = jnp.pad(t, [(0, 0), (py, py), (0, 0), (0, 0)])
 
@@ -223,9 +261,10 @@ def _roll_rows(v, shift: int):
 
 def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
-            with_stats: bool = False):
+            with_stats: bool = False, with_dyn: bool = False):
     # operand order: per input i: kY slabs; then per input: scale, bias;
-    # then band [, wplus, wminus]; finally out_ref [, s1_ref, s2_ref].
+    # [ext_ref when with_dyn;] then band [, wplus, wminus]; finally
+    # out_ref [, s1_ref, s2_ref].
     idx = 0
     x_refs = []
     for _ in range(n_in):
@@ -235,6 +274,12 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     for _ in range(n_in):
         sb_refs.append((refs[idx], refs[idx + 1]))
         idx += 2
+    if with_dyn:
+        # exact bucketing under the FUSED path (eval): (3,) int32 true
+        # extents [yt, xt, zt] in device coords.  The prologue re-zeroes
+        # the affine output beyond them (the bias makes padding non-zero
+        # otherwise), reproducing the per-op path's per-op masking.
+        ext_ref = refs[idx]; idx += 1
     band_ref = refs[idx]; idx += 1
     if kz == 3:
         wrap_ref = refs[idx]; idx += 1  # wplus + wminus (disjoint cols)
@@ -274,6 +319,18 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         head_cols = jnp.logical_and(head_m, col < co)
         tail_cols = jnp.logical_and(tail_m, col >= (bs - 1) * co)
 
+    if with_dyn:
+        xt = ext_ref[1]
+        zt = ext_ref[2]
+        CC_in = x_refs[0][0].shape[-1]
+        ci_in = CC_in // bs
+        xg = rows_i // nb                       # (RX, 1) int32
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_in), 1)
+        zslot = mrow * bs + lane // ci_in       # (RX, CC) int32
+        dyn_valid = jnp.logical_and(
+            xg < xt,        # mosaic-f32-ok: int32 compare
+            zslot < zt)     # mosaic-f32-ok: int32 compare
+
     acc = None
     for dy in range(kY):
         t = None
@@ -284,6 +341,15 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             t = term if t is None else t + term
         if relu:
             t = jnp.maximum(t, 0.0)
+        if with_dyn:
+            t = jnp.where(dyn_valid, t, jnp.zeros((), t.dtype))
+            # the slab may lie beyond the true Y extent — its
+            # (x, z)-valid entries still carry affine garbage
+            yy_d = y + dy - kY // 2
+            yv = jnp.logical_and(
+                yy_d >= 0,
+                yy_d < ext_ref[0])  # mosaic-f32-ok: int32 scalar
+            t = t * yv.astype(t.dtype)
         part = None
         for dx in range(kX):
             tap = dy * kX + dx
@@ -337,7 +403,8 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
                             kY: int, kX: int, X: int, nb: int, bs: int,
                             relu: bool, preferred_element_type,
                             interpret: bool = False,
-                            with_stats: bool = False):
+                            with_stats: bool = False,
+                            dyn_extents=None):
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
     ci = CC // bs
@@ -367,6 +434,13 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
         in_specs += [pl.BlockSpec((1, CC), lambda b, y: (0, 0),
                                   memory_space=pltpu.VMEM)] * 2
 
+    if dyn_extents is not None:
+        yt, xt, zt = dyn_extents
+        ops.append(jnp.stack([jnp.asarray(yt, jnp.int32),
+                              jnp.asarray(xt, jnp.int32),
+                              jnp.asarray(zt, jnp.int32)]))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
     nt = band.shape[0]
     w_spec = pl.BlockSpec((nt, bs * ci, bs * co), lambda b, y: (0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -379,7 +453,7 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
     kern = functools.partial(
         _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=preferred_element_type,
-        with_stats=with_stats)
+        with_stats=with_stats, with_dyn=dyn_extents is not None)
 
     y_spec = pl.BlockSpec((1, 1, RX, bs * co), lambda b, y: (b, y, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -806,6 +880,30 @@ def fused_conv(xs, scales, biases, w, X: int, nb: int, bs: int,
                             tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
+
+
+def fused_conv_dyn(xs, scales, biases, w, X: int, nb: int, bs: int,
+                   dyn_extents, relu: bool = True,
+                   preferred_element_type=jnp.float32,
+                   impl: str = "auto") -> jnp.ndarray:
+    """EVAL-ONLY fused conv under exact bucketing: the kernel prologue
+    re-zeroes the affine output beyond the dynamic true extents
+    (yt, xt, zt), so the fused path reproduces the per-op masked path
+    bit-for-bit on the valid region (tests/test_exact_bucketing.py).
+    No custom VJP — differentiating through it is unsupported (the
+    training path never buckets)."""
+    assert _SPACE is None, "dynamic extents not supported under a mesh"
+    kY, kX, kz, ci, co = w.shape
+    band, wplus, wminus = _band_wrap_matrices(w.astype(xs[0].dtype), bs)
+    pet = jnp.dtype(preferred_element_type).type
+    if _use_pallas_impl(impl):
+        return _fused_conv_pallas_mats(
+            list(xs), list(scales), list(biases), band, wplus, wminus,
+            kY, kX, X, nb, bs, relu, pet, interpret=_INTERPRET,
+            dyn_extents=dyn_extents)
+    return _fused_conv_ref_mats(
+        list(xs), list(scales), list(biases), band, wplus, wminus,
+        kY, kX, X, nb, bs, relu, pet, dyn_extents=dyn_extents)
 
 
 def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,

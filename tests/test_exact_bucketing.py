@@ -125,3 +125,47 @@ def test_harness_bucketing_exact_end_to_end(tmp_path, tiny_spec):
             np.testing.assert_allclose(
                 rb[metric], v, rtol=1e-5, atol=1e-6,
                 err_msg=f"{re_['FileSetId']}/{metric}")
+
+
+@pytest.mark.parametrize("name", ["FPN", "FPNHybridFusion"])
+def test_exact_bucketing_fused_eval_path(name, tiny_spec):
+    """Round 4: under exact bucketing the EVAL path keeps the FUSED
+    encoder kernels (extent-masked prologues + packed pools + epilogue
+    masks) instead of falling back to per-op — and must still
+    reproduce the unbucketed prediction.  Runs the fused lowering's
+    XLA twin on CPU (the kernel bodies are proven equal to the twin in
+    tests/test_pallas_interpret.py::test_fused_conv_dyn_kernel_parity)."""
+    from multimodal_fusion_fpn_tpu.models.blocks import (
+        set_fused_stage_mode)
+
+    rng = np.random.default_rng(9)
+    y, z, x = 8, 64, 32
+    eh, ew = 80, 32
+    batch = {"image": rng.normal(size=(1, 1, y, z, x)).astype(np.float32)}
+    if name == "FPNHybridFusion":
+        batch["slo"] = rng.normal(size=(1, 1, eh, 1, ew)).astype(
+            np.float32)
+        cfg = make_config(model=name, crop="relative_2d_max",
+                          fusion_modality="slo")
+    else:
+        cfg = make_config(model=name, crop="oct")
+    model = build_model(cfg, spec=tiny_spec, remat=False)
+
+    set_fused_stage_mode("on")
+    try:
+        vs = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=False)
+        ref = np.asarray(model.apply(vs, batch,
+                                     train=False)["prediction"])
+        padded = {
+            "image": _pad_to(batch["image"], {2: 16, 3: 96, 4: 48}),
+            "__valid_image__": jnp.asarray([y, z, x], jnp.int32)}
+        if "slo" in batch:
+            padded["slo"] = _pad_to(batch["slo"], {2: 96, 4: 48})
+            padded["__valid_enface__"] = jnp.asarray([eh, ew], jnp.int32)
+        out = np.asarray(model.apply(vs, padded,
+                                     train=False)["prediction"])
+    finally:
+        set_fused_stage_mode("auto")
+    got = out[:, :, :y, :, :x]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)

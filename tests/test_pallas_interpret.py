@@ -261,3 +261,57 @@ def test_out_stats_bf16_path():
                                    rtol=2e-2, atol=2e-2)
     # bf16 rounding of two valid accumulation orders: a few ulp apart
     _assert_tree_close(g_p, g_r, rtol=8e-2, atol=8e-2)
+
+
+# ---------------------------------------------------------------------------
+# dynamic-extent (bucketed-eval) fused kernels (round 4)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kshape", [(1, 3, 3), (3, 1, 1), (1, 1, 1)])
+def test_fused_conv_dyn_kernel_parity(kshape):
+    """The extent-masked eval kernel vs (a) its XLA twin and (b) the
+    per-op oracle: relu(affine(x)) masked to the true extents, then a
+    plain conv.  Inputs carry GARBAGE beyond the extents (as the real
+    inter-kernel buffers do) — the prologue must neutralize it."""
+    ci, co = 4, 4
+    yt, xt, zt = 3, 4, 40  # true extents inside (Y, X, nb*bs)=(4, 6, 64)
+    rng = np.random.default_rng(77)
+    x = jnp.asarray(rng.normal(size=(B, Y, X, nb * bs, ci)),
+                    jnp.float32)
+    s = jnp.asarray(rng.normal(size=(bs * ci,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(bs * ci,)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=kshape + (ci, co)) * 0.3,
+                    jnp.float32)
+    xp = fc.pack(x, bs)
+    dyn = (jnp.int32(yt), jnp.int32(xt), jnp.int32(zt))
+
+    y_pal = fc.fused_conv_dyn([xp], [s], [b], w, X, nb, bs, dyn,
+                              relu=True, impl="pallas")
+    y_ref = fc.fused_conv_dyn([xp], [s], [b], w, X, nb, bs, dyn,
+                              relu=True, impl="ref")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # per-op oracle: masked activation, then the plain fused conv
+    t = jnp.maximum(xp * s + b, 0.0)
+    t = fc.mask_packed_dyn(t, X, nb, bs, dyn)
+    y_orc = fc.fused_conv([t], [None], [None], w, X, nb, bs,
+                          relu=False, impl="ref")
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_orc),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_mask_packed_dyn_matches_compact_mask():
+    """mask_packed_dyn == compact-layout masking + pack."""
+    rng = np.random.default_rng(5)
+    ci = 4
+    x = jnp.asarray(rng.normal(size=(B, Y, X, nb * bs, ci)), jnp.float32)
+    yt, xt, zt = 3, 5, 50
+    xp = fc.pack(x, bs)
+    got = fc.mask_packed_dyn(xp, X, nb, bs, (yt, xt, zt))
+    xm = np.asarray(x).copy()
+    xm[:, yt:] = 0
+    xm[:, :, xt:] = 0
+    xm[:, :, :, zt:] = 0
+    want = fc.pack(jnp.asarray(xm), bs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
