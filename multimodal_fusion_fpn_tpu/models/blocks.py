@@ -486,10 +486,12 @@ class ConvX(nn.Module):
                                packed_out=True)
 
         def bn(y_raw, name):
-            if dyn is not None:
-                # eval under dynamic extents: only the RUNNING stats
-                # feed the affine — skip the batch-stat reduction (it
-                # would also be polluted by the padding).
+            if y_raw is None or dyn is not None:
+                # eval: only the RUNNING stats feed the affine — skip
+                # the batch-stat reduction (under dynamic extents it
+                # would also be polluted by the padding; for a fused
+                # conv pair the intermediate never exists).
+                assert not train
                 z = jnp.zeros((co,), jnp.float32)
                 return bn_fold(z, z, name)
             mean, var = interior_stats(y_raw, X, nb, bs, B, Y)
@@ -512,13 +514,38 @@ class ConvX(nn.Module):
             return (jnp.tile(s, bs).astype(dt),
                     jnp.tile(b, bs).astype(dt))
 
+        # Eval-only 2-conv mega-kernel (MMF_FUSED_PAIR=1, PERF.md
+        # roadmap 3): consecutive kY==1 convs run in one kernel with
+        # the intermediate VMEM-resident — possible because the eval
+        # affines come from RUNNING stats.  Opt-in until the Mosaic
+        # compile is verified on chip (tools/onchip_r4.py).
+        pair_ok = (not train
+                   and _os.environ.get("MMF_FUSED_PAIR", "0") == "1")
         ci = ci0
         cur, cur_s, cur_b = xp, None, None
-        for i in range(n):
+        i = 0
+        while i < n:
             w_shape = tuple(self.kernels[i]) + (ci, co)
             if i == 0 and narrow:
                 y = conv_narrow(w_shape, "conv0")
                 cur_s, cur_b = bn(y, f"bn{i}")
+            elif (pair_ok and i + 1 < n and self.kernels[i][0] == 1
+                    and self.kernels[i + 1][0] == 1):
+                from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv \
+                    import fused_conv2_eval
+                w0 = _ConvKernel(w_shape, name=f"conv{i}")()
+                s_mid, b_mid = bn(None, f"bn{i}")
+                w1 = _ConvKernel(tuple(self.kernels[i + 1]) + (co, co),
+                                 name=f"conv{i + 1}")()
+                y = fused_conv2_eval(cur, cur_s, cur_b, w0.astype(dt),
+                                     s_mid, b_mid, w1.astype(dt), X,
+                                     nb, bs, relu0=(i > 0),
+                                     preferred_element_type=dt,
+                                     dyn_extents=dyn)
+                cur_s, cur_b = bn(None, f"bn{i + 1}")
+                cur, ci = y, co
+                i += 2
+                continue
             elif use_ws:
                 y, s1, s2 = conv([cur], [cur_s], [cur_b], w_shape,
                                  f"conv{i}", relu=(i > 0))
@@ -528,6 +555,7 @@ class ConvX(nn.Module):
                          relu=(i > 0))
                 cur_s, cur_b = bn(y, f"bn{i}")
             cur, ci = y, co
+            i += 1
 
         out = cur * cur_s + cur_b
         if self.residual:

@@ -906,6 +906,194 @@ def fused_conv_dyn(xs, scales, biases, w, X: int, nb: int, bs: int,
         kY, kX, X, nb, bs, relu, pet, dyn_extents=dyn_extents)
 
 
+# ---------------------------------------------------------------------------
+# Eval-mode 2-conv mega-kernel (round 4, PERF.md roadmap 3)
+# ---------------------------------------------------------------------------
+#
+# In eval the BatchNorm affines come from RUNNING stats (parameters), so
+# consecutive kY==1 convs of a ConvX chain have no inter-conv reduction:
+# both run in ONE kernel with the intermediate resident in VMEM,
+# deleting its HBM write+read (per stage-1 pair that is two full passes
+# over a ~260 MB buffer).  Training cannot use this (conv i's output
+# batch-stats gate conv i+1's prologue affine).
+
+def _conv_taps(t, band_ref, wrap_ref, kX, kz, nb, RX, bs, mrow, rows_i):
+    """The tap-accumulation core of `_kernel` for a kY==1 conv: returns
+    the fp32 raw conv of the activated slab ``t``."""
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
+    if kz == 3:
+        CCo = band_ref.shape[-1]
+        co = CCo // bs
+        col = jax.lax.broadcasted_iota(jnp.int32, (RX, CCo), 1)
+        head_cols = jnp.logical_and(mrow != 0, col < co)
+        tail_cols = jnp.logical_and(mrow != nb - 1,
+                                    col >= (bs - 1) * co)
+    acc = None
+    for dx in range(kX):
+        rows = _roll_rows(t, ((1 - dx) * nb) % RX) if kX == 3 else t
+        a = jax.lax.dot_general(
+            rows, band_ref[dx],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if kz == 3:
+            p = jax.lax.dot_general(
+                rows, wrap_ref[dx],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
+            a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+        if kX == 3 and tap_row_m[dx] is not None:
+            a = jnp.where(tap_row_m[dx], a, 0.0)
+        acc = a if acc is None else acc + a
+    return acc
+
+
+def _dyn_valid_in_kernel(ext_ref, rows_i, mrow, nb, bs, ci):
+    xt = ext_ref[1]
+    zt = ext_ref[2]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, bs * ci), 1)
+    zslot = mrow * bs + lane // ci
+    return jnp.logical_and(
+        rows_i // nb < xt,   # mosaic-f32-ok: int32 compare
+        zslot < zt)          # mosaic-f32-ok: int32 compare
+
+
+def _kernel2(*refs, kX0: int, kz0: int, kX1: int, kz1: int,
+             X: int, nb: int, bs: int, relu0: bool, out_dtype,
+             with_dyn: bool = False):
+    # operands: x slab; s0, b0; s_mid, b_mid; [ext;] bandA [, wrapA];
+    # bandB [, wrapB]; out.
+    idx = 0
+    x_ref = refs[idx]; idx += 1
+    s0_ref, b0_ref = refs[idx], refs[idx + 1]; idx += 2
+    sm_ref, bm_ref = refs[idx], refs[idx + 1]; idx += 2
+    if with_dyn:
+        ext_ref = refs[idx]; idx += 1
+    bandA_ref = refs[idx]; idx += 1
+    if kz0 == 3:
+        wrapA_ref = refs[idx]; idx += 1
+    else:
+        wrapA_ref = None
+    bandB_ref = refs[idx]; idx += 1
+    if kz1 == 3:
+        wrapB_ref = refs[idx]; idx += 1
+    else:
+        wrapB_ref = None
+    out_ref = refs[idx]
+
+    y = pl.program_id(1)
+    RX = X * nb
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    mrow = jax.lax.rem(rows_i, nb)
+
+    # conv A prologue + taps
+    t0 = x_ref[0, 0] * s0_ref[:] + b0_ref[:]
+    if relu0:
+        t0 = jnp.maximum(t0, 0.0)
+    if with_dyn:
+        ci0 = x_ref.shape[-1] // bs
+        v0 = _dyn_valid_in_kernel(ext_ref, rows_i, mrow, nb, bs, ci0)
+        t0 = jnp.where(v0, t0, jnp.zeros((), t0.dtype))
+        yv = (y < ext_ref[0])  # mosaic-f32-ok: int32 scalar
+        t0 = t0 * yv.astype(t0.dtype)
+    y1 = _conv_taps(t0, bandA_ref, wrapA_ref, kX0, kz0, nb, RX, bs,
+                    mrow, rows_i)
+
+    # mid affine + ReLU on the VMEM-resident intermediate, then conv B
+    t1 = (y1.astype(out_dtype) * sm_ref[:] + bm_ref[:]).astype(
+        x_ref.dtype)
+    t1 = jnp.maximum(t1, 0.0)
+    if with_dyn:
+        ci1 = bandA_ref.shape[-1] // bs
+        v1 = _dyn_valid_in_kernel(ext_ref, rows_i, mrow, nb, bs, ci1)
+        t1 = jnp.where(v1, t1, jnp.zeros((), t1.dtype))
+        t1 = t1 * yv.astype(t1.dtype)  # mid bias garbage on invalid y
+    y2 = _conv_taps(t1, bandB_ref, wrapB_ref, kX1, kz1, nb, RX, bs,
+                    mrow, rows_i)
+    out_ref[0, 0] = y2.astype(out_dtype)
+
+
+def fused_conv2_eval(x, s0, b0, w0, s_mid, b_mid, w1, X: int, nb: int,
+                     bs: int, relu0: bool = False,
+                     preferred_element_type=jnp.float32,
+                     impl: str = "auto", dyn_extents=None) -> jnp.ndarray:
+    """EVAL-ONLY: two consecutive stride-1 SAME kY==1 convs in one
+    kernel — ``conv_B(relu(mid_affine(conv_A(relu0?(affine0(x))))))``
+    with the intermediate VMEM-resident.  ``s0``/``b0`` may be None
+    (identity); the mid affine (folded BN of conv A, from RUNNING
+    stats) is mandatory.  No custom VJP (training keeps per-conv
+    kernels: conv A's batch stats gate the mid affine there)."""
+    assert _SPACE is None, "fused_conv2_eval not supported under a mesh"
+    kY0, kX0, kz0, ci0, co0 = w0.shape
+    kY1, kX1, kz1, ci1, co1 = w1.shape
+    assert kY0 == 1 and kY1 == 1 and ci1 == co0, (w0.shape, w1.shape)
+    dt = x.dtype
+    pet = jnp.dtype(preferred_element_type).type
+    bandA, wplusA, wminusA = _band_wrap_matrices(w0.astype(dt), bs)
+    bandB, wplusB, wminusB = _band_wrap_matrices(w1.astype(dt), bs)
+
+    if not _use_pallas_impl(impl):
+        y1 = _fused_conv_ref_mats(
+            [x], [s0], [b0], bandA, wplusA, wminusA, 1, kX0, X, nb, bs,
+            relu0, pet, dyn_extents=dyn_extents)
+        return _fused_conv_ref_mats(
+            [y1], [s_mid], [b_mid], bandB, wplusB, wminusB, 1, kX1, X,
+            nb, bs, True, pet, dyn_extents=dyn_extents)
+
+    B, Y, RX, CC = x.shape
+    ops = [x]
+    in_specs = [pl.BlockSpec((1, 1, RX, CC), lambda b, y: (b, y, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    vec_spec = lambda n: pl.BlockSpec((1, n), lambda b, y: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    ops.append(jnp.ones((1, CC), dt) if s0 is None
+               else s0.astype(dt).reshape(1, CC))
+    ops.append(jnp.zeros((1, CC), dt) if b0 is None
+               else b0.astype(dt).reshape(1, CC))
+    in_specs += [vec_spec(CC)] * 2
+    CCm = bs * co0
+    ops.append(s_mid.astype(dt).reshape(1, CCm))
+    ops.append(b_mid.astype(dt).reshape(1, CCm))
+    in_specs += [vec_spec(CCm)] * 2
+    if dyn_extents is not None:
+        yt, xt, zt = dyn_extents
+        ops.append(jnp.stack([jnp.asarray(yt, jnp.int32),
+                              jnp.asarray(xt, jnp.int32),
+                              jnp.asarray(zt, jnp.int32)]))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    def mats(band, wplus, wminus, kz):
+        o = [band.astype(dt)]
+        if kz == 3:
+            o.append((wplus + wminus).astype(dt))
+        return o
+
+    for m in mats(bandA, wplusA, wminusA, kz0):
+        ops.append(m)
+        in_specs.append(pl.BlockSpec(m.shape, lambda b, y: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for m in mats(bandB, wplusB, wminusB, kz1):
+        ops.append(m)
+        in_specs.append(pl.BlockSpec(m.shape, lambda b, y: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+
+    kern = functools.partial(
+        _kernel2, kX0=kX0, kz0=kz0, kX1=kX1, kz1=kz1, X=X, nb=nb, bs=bs,
+        relu0=relu0, out_dtype=pet, with_dyn=dyn_extents is not None)
+    return pl.pallas_call(
+        kern,
+        grid=(B, Y),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, RX, bs * co1),
+                               lambda b, y: (b, y, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Y, RX, bs * co1), pet),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=_INTERPRET,
+    )(*ops)
+
+
 def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
                    n_batch: int, n_y: int):
     """Per-logical-channel (mean, var) of a raw thick-layout output

@@ -190,3 +190,63 @@ def test_grad_parity_under_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
     set_fused_stage_mode("auto")
+
+
+def test_eval_conv_pair_parity(monkeypatch):
+    """MMF_FUSED_PAIR=1 (eval 2-conv mega-kernel): stage eval output
+    must match the unpaired fused path exactly (the mid affine comes
+    from the same running stats; the intermediate just never touches
+    HBM)."""
+    import os
+    stage, x = _stage_and_input()
+    set_fused_stage_mode("on")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+    out_ref = stage.apply(vs, x, train=False)
+    monkeypatch.setitem(os.environ, "MMF_FUSED_PAIR", "1")
+    out_pair = stage.apply(vs, x, train=False)
+    set_fused_stage_mode("auto")
+    np.testing.assert_allclose(np.asarray(out_pair), np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_conv_pair_kernel_interpret(monkeypatch):
+    """The _kernel2 body itself (interpret mode) vs its XLA twin and vs
+    two single fused convs, incl. under dynamic extents."""
+    import os
+    from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as fc
+
+    rng = np.random.default_rng(13)
+    B_, Y_, X_, nb_, bs_ = 1, 4, 6, 8, 8
+    ci, cm, co = 4, 4, 4
+    x = jnp.asarray(rng.normal(size=(B_, Y_, X_, nb_ * bs_, ci)),
+                    jnp.float32)
+    xp = fc.pack(x, bs_)
+    s0 = jnp.asarray(rng.normal(size=(bs_ * ci,)), jnp.float32)
+    b0 = jnp.asarray(rng.normal(size=(bs_ * ci,)), jnp.float32)
+    sm = jnp.asarray(rng.normal(size=(bs_ * cm,)), jnp.float32)
+    bm = jnp.asarray(rng.normal(size=(bs_ * cm,)), jnp.float32)
+    w0 = jnp.asarray(rng.normal(size=(1, 3, 3, ci, cm)) * 0.3,
+                     jnp.float32)
+    w1 = jnp.asarray(rng.normal(size=(1, 3, 3, cm, co)) * 0.3,
+                     jnp.float32)
+
+    for dyn in (None, (jnp.int32(3), jnp.int32(4), jnp.int32(40))):
+        fc.set_interpret_mode(True)
+        try:
+            got = fc.fused_conv2_eval(xp, s0, b0, w0, sm, bm, w1, X_,
+                                      nb_, bs_, relu0=True,
+                                      impl="pallas", dyn_extents=dyn)
+        finally:
+            fc.set_interpret_mode(False)
+        ref = fc.fused_conv2_eval(xp, s0, b0, w0, sm, bm, w1, X_, nb_,
+                                  bs_, relu0=True, impl="ref",
+                                  dyn_extents=dyn)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+        if dyn is None:
+            y1 = fc.fused_conv([xp], [s0], [b0], w0, X_, nb_, bs_,
+                               relu=True, impl="ref")
+            y2 = fc.fused_conv([y1], [sm], [bm], w1, X_, nb_, bs_,
+                               relu=True, impl="ref")
+            np.testing.assert_allclose(np.asarray(got), np.asarray(y2),
+                                       rtol=1e-5, atol=1e-5)

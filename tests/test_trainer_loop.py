@@ -18,6 +18,9 @@ from multimodal_fusion_fpn_tpu.train.trainer import Trainer
 class FakeState:
     params = {}
     batch_stats = {}
+    # fit() writes resume.ckpt (exact resume, round 4) from these:
+    opt_state = ()
+    step = 0
 
 
 class FakeLoader:

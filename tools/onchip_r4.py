@@ -151,6 +151,15 @@ def main():
             and "eval_ensemble5_hd" not in done:
         run_phase("eval_ensemble5_hd", EVAL_CODE, {}, args.timeout,
                   args.log)
+    # eval 2-conv mega-kernel A/B (MMF_FUSED_PAIR): also the first
+    # Mosaic compile check of _kernel2 — if it fails, keep the default
+    # off and record the error.
+    if (not args.only or args.only == "eval_pair") \
+            and "eval_ensemble5_hd_pair" not in done:
+        code = EVAL_CODE.replace('"phase": "eval_ensemble5_hd"',
+                                 '"phase": "eval_ensemble5_hd_pair"')
+        run_phase("eval_ensemble5_hd_pair", code,
+                  {"MMF_FUSED_PAIR": "1"}, args.timeout, args.log)
     print(f"# results in {args.log}")
 
 
