@@ -807,11 +807,14 @@ class _FusedReduction(nn.Module):
     packed_in: Optional[Tuple[int, int, int]] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, dyn=None):
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
-            fused_conv_strided, interior_stats_slots, merge_slots, pack,
-            unpack, unpack_slots)
+            fused_conv_strided, fused_conv_strided_dyn,
+            interior_stats_slots, merge_slots, pack, unpack,
+            unpack_slots)
         from multimodal_fusion_fpn_tpu.ops.pallas.pool import retarget_bs
+        assert dyn is None or not train, \
+            "dynamic-extent fused cascade is eval-only"
         bs = self.bs
         if self.packed_in is not None:
             X, nb_in, bs_in = self.packed_in
@@ -868,7 +871,15 @@ class _FusedReduction(nn.Module):
             x_ds = x
             ds_strides = (1, 1, stride)
 
-        use_ws = _os.environ.get("MMF_FUSED_STATS", "1") != "0"
+        use_ws = (dyn is None
+                  and _os.environ.get("MMF_FUSED_STATS", "1") != "0")
+
+        def bn_zero(name):
+            # eval under dynamic extents: running stats only
+            z0 = jnp.zeros((co,), jnp.float32)
+            s, b = _BNFold(co, name=name)(z0, z0, train, n=1)
+            return (jnp.tile(s, bs).astype(dt),
+                    jnp.tile(b, bs).astype(dt))
 
         def bn_sums(s1, s2, c_nb, valid, name):
             # kernel-epilogue per-lane sums: dead slots are structural
@@ -900,19 +911,30 @@ class _FusedReduction(nn.Module):
         cur_nb, valid = Z // bs, bs
         cur, cur_s, cur_b = xp, None, None
         ci = ci0
+        zt = dyn[2] if dyn is not None else None  # true z, per level
         for i in range(r_fused):
             w = _ConvKernel((1, 1, 3, ci, co), name=f"conv{i}")()
-            res = fused_conv_strided(
-                [cur], [cur_s], [cur_b], w.astype(dt), X, cur_nb, bs,
-                valid_in=valid, relu=(i > 0),
-                preferred_element_type=dt, out_stats=use_ws)
-            y, s1, s2 = res if use_ws else (res, None, None)
+            if dyn is not None:
+                y = fused_conv_strided_dyn(
+                    [cur], [cur_s], [cur_b], w.astype(dt), X, cur_nb,
+                    bs, valid_in=valid, dyn_extents=(dyn[0], dyn[1], zt),
+                    relu=(i > 0), preferred_element_type=dt)
+                s1 = s2 = None
+                zt = (zt + 1) // 2  # stride-2 SAME k=3 true extent
+            else:
+                res = fused_conv_strided(
+                    [cur], [cur_s], [cur_b], w.astype(dt), X, cur_nb,
+                    bs, valid_in=valid, relu=(i > 0),
+                    preferred_element_type=dt, out_stats=use_ws)
+                y, s1, s2 = res if use_ws else (res, None, None)
             valid //= 2
             if valid == bs // 2 and cur_nb % 2 == 0:
                 y = merge_slots(y, X, cur_nb, bs, valid)
                 cur_nb //= 2
                 valid = bs
-            if use_ws:
+            if dyn is not None:
+                cur_s, cur_b = bn_zero(f"bn{i}")
+            elif use_ws:
                 cur_s, cur_b = bn_sums(s1, s2, cur_nb, valid, f"bn{i}")
             else:
                 cur_s, cur_b = bn_slots(y, cur_nb, valid, f"bn{i}")
@@ -920,6 +942,17 @@ class _FusedReduction(nn.Module):
 
         y_small = unpack_slots(cur, X, cur_nb, bs, valid)
         last = y_small * cur_s[:co] + cur_b[:co]
+
+        def dyn_mask5(t, z_true):
+            # compact (B, Y, X, z, C): zero beyond (yt, xt, z_true) —
+            # the affine/conv garbage must not leak into the VALID
+            # final conv or the masked depth-mean
+            from multimodal_fusion_fpn_tpu.ops.dynamic_extent import \
+                mask_valid
+            return mask_valid(t, {1: dyn[0], 2: dyn[1], 3: z_true})
+
+        if dyn is not None:
+            last = dyn_mask5(last, zt)
         if r_fused < n:
             t = nn.relu(last)
             for i in range(r_fused, n):
@@ -935,6 +968,9 @@ class _FusedReduction(nn.Module):
                                    name=f"bn{i}")(t)
                 if i < n - 1:
                     t = nn.relu(t)
+                if dyn is not None:
+                    zt = (zt + 1) // 2
+                    t = dyn_mask5(t, zt)
             last = t
 
         res = TpuConv(co, kernel_size=(1, 1, 1),
@@ -947,7 +983,10 @@ class _FusedReduction(nn.Module):
                              momentum=0.9, epsilon=1e-5,
                              scale_init=bn_scale_init, dtype=dt,
                              name="ds_bn")(res)
-        return nn.relu(last + res)
+        out = nn.relu(last + res)
+        if dyn is not None:
+            out = dyn_mask5(out, zt)
+        return out
 
 
 class ZDimReduction(nn.Module):
@@ -963,7 +1002,7 @@ class ZDimReduction(nn.Module):
     dtype: Any = jnp.float32
     packed_in: Optional[Tuple[int, int, int]] = None
 
-    def _fused_bs(self, x) -> Optional[int]:
+    def _fused_bs(self, x, train: bool = False):
         # Round-2 measured the 4-deep zdimRed1 cascade LOSING fused
         # (27.8 vs 20.7 ms — slot-sparse full-width levels); with the
         # round-3 block-pair merges the ALL-fused projections win
@@ -971,8 +1010,12 @@ class ZDimReduction(nn.Module):
         # the classic path's banded patch volume (bf16[...,31,17,16],
         # 276 MB x4 in the step HLO) and its layout copies disappear.
         # Default: fused wherever eligible; MMF_FUSED_PROJ=0 forces off.
+        # Under exact bucketing the EVAL path stays fused via the
+        # extent-masked cascade (round 4).
         force = _os.environ.get("MMF_FUSED_PROJ", "")
-        if force == "0" or current_valid():
+        if force == "0":
+            return None
+        if current_valid() and stage_dyn_extents(train) is None:
             return None
         if int(_os.environ.get("MMF_FUSED_PROJ_CAP", "99")) <= 0:
             # cap=0 means "no fused levels" — the classic per-op path is
@@ -1006,13 +1049,15 @@ class ZDimReduction(nn.Module):
     def __call__(self, x, train: bool = False):
         n = self.num_reductions
         if n > 0:
-            bs = self._fused_bs(x)
+            bs = self._fused_bs(x, train)
             if bs is not None:
+                dyn = (stage_dyn_extents(train)
+                       if current_valid() else None)
                 x = _FusedReduction(self.features, n=n, bs=bs,
                                     use_bn=self.use_bn,
                                     dtype=self.dtype,
                                     packed_in=self.packed_in,
-                                    name="red")(x, train)
+                                    name="red")(x, train, dyn=dyn)
             else:
                 if self.packed_in is not None:
                     from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv \

@@ -145,17 +145,23 @@ def _affine_t(xs, scales, biases, relu):
 
 
 def dyn_valid_mask(X: int, nb: int, bs: int, ci: int, dyn_extents,
-                   with_y: int = 0):
+                   with_y: int = 0, valid_in: int = 0):
     """(RX, bs*ci) validity of a padless thick buffer under dynamic
     true extents (yt, xt, zt); with ``with_y`` also returns the
-    (with_y,) y-axis mask."""
+    (with_y,) y-axis mask.  ``valid_in``: live slots per block for
+    slot-sparse (strided-cascade) buffers, logical z = m*valid_in + j
+    (0 = dense)."""
     yt, xt, zt = dyn_extents
+    vi = valid_in or bs
     RX = X * nb
     rows = jnp.arange(RX, dtype=jnp.int32)[:, None]
     lane = jnp.arange(bs * ci, dtype=jnp.int32)[None, :]
-    zslot = jax.lax.rem(rows, nb) * bs + lane // ci
-    valid = jnp.logical_and(rows // nb < jnp.asarray(xt, jnp.int32),
-                            zslot < jnp.asarray(zt, jnp.int32))
+    j = lane // ci
+    zlog = jax.lax.rem(rows, nb) * vi + j
+    valid = jnp.logical_and(
+        jnp.logical_and(rows // nb < jnp.asarray(xt, jnp.int32),
+                        zlog < jnp.asarray(zt, jnp.int32)),
+        j < vi)
     if with_y:
         ym = (jnp.arange(with_y, dtype=jnp.int32)
               < jnp.asarray(yt, jnp.int32))
@@ -179,7 +185,7 @@ def mask_packed_dyn(v: jnp.ndarray, X: int, nb: int, bs: int,
 def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
                          kY: int, kX: int, X: int, nb: int, bs: int,
                          relu: bool, preferred_element_type,
-                         dyn_extents=None):
+                         dyn_extents=None, dyn_valid_in: int = 0):
     """Pure-XLA fused conv on band/wrap matrices (the autodiff-closed
     form used by the custom-VJP boundary and on CPU)."""
     B, Y, RX, CC = xs[0].shape
@@ -193,7 +199,7 @@ def _fused_conv_ref_mats(xs, scales, biases, band, wplus, wminus,
     t = _affine_t(xs, scales, biases, relu)
     if dyn_extents is not None:
         valid, ym = dyn_valid_mask(X, nb, bs, CC // bs, dyn_extents,
-                                   with_y=Y)
+                                   with_y=Y, valid_in=dyn_valid_in)
         m = jnp.logical_and(valid[None, None], ym[None, :, None, None])
         t = jnp.where(m, t, jnp.zeros((), t.dtype))
     py = kY // 2
@@ -261,7 +267,8 @@ def _roll_rows(v, shift: int):
 
 def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
-            with_stats: bool = False, with_dyn: bool = False):
+            with_stats: bool = False, with_dyn: bool = False,
+            dyn_valid_in: int = 0):
     # operand order: per input i: kY slabs; then per input: scale, bias;
     # [ext_ref when with_dyn;] then band [, wplus, wminus]; finally
     # out_ref [, s1_ref, s2_ref].
@@ -326,10 +333,17 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         ci_in = CC_in // bs
         xg = rows_i // nb                       # (RX, 1) int32
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_in), 1)
-        zslot = mrow * bs + lane // ci_in       # (RX, CC) int32
+        j_in = lane // ci_in
+        # slot-sparse buffers (the strided cascade) hold logical
+        # z = m*valid_in + j with only slots j < valid_in live;
+        # dyn_valid_in=0 means dense (valid_in == bs).
+        vi = dyn_valid_in or bs
+        zlog = mrow * vi + j_in                 # (RX, CC) int32
         dyn_valid = jnp.logical_and(
-            xg < xt,        # mosaic-f32-ok: int32 compare
-            zslot < zt)     # mosaic-f32-ok: int32 compare
+            jnp.logical_and(
+                xg < xt,     # mosaic-f32-ok: int32 compare
+                zlog < zt),  # mosaic-f32-ok: int32 compare
+            j_in < vi)       # mosaic-f32-ok: int32 compare
 
     acc = None
     for dy in range(kY):
@@ -404,7 +418,7 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
                             relu: bool, preferred_element_type,
                             interpret: bool = False,
                             with_stats: bool = False,
-                            dyn_extents=None):
+                            dyn_extents=None, dyn_valid_in: int = 0):
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
     ci = CC // bs
@@ -453,7 +467,8 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
     kern = functools.partial(
         _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=preferred_element_type,
-        with_stats=with_stats, with_dyn=dyn_extents is not None)
+        with_stats=with_stats, with_dyn=dyn_extents is not None,
+        dyn_valid_in=dyn_valid_in)
 
     y_spec = pl.BlockSpec((1, 1, RX, bs * co), lambda b, y: (b, y, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -1174,6 +1189,29 @@ def fused_conv_strided(xs, scales, biases, w, X: int, nb: int, bs: int,
                             tuple(biases), band, wplus, wminus)
     return _fused_op(cfg, tuple(xs), tuple(scales), tuple(biases),
                      band, wplus, wminus)
+
+
+def fused_conv_strided_dyn(xs, scales, biases, w, X: int, nb: int,
+                           bs: int, valid_in: int, dyn_extents,
+                           relu: bool = True,
+                           preferred_element_type=jnp.float32,
+                           impl: str = "auto") -> jnp.ndarray:
+    """EVAL-ONLY strided cascade conv under exact bucketing: like
+    :func:`fused_conv_strided` but the prologue re-zeroes beyond the
+    dynamic (yt, xt, zt) true extents (logical z = m*valid_in + j on
+    the slot-sparse layout).  No custom VJP."""
+    assert _SPACE is None, "dynamic extents not supported under a mesh"
+    band, wplus, wminus = _band_wrap_strided(w, bs, valid_in)
+    pet = jnp.dtype(preferred_element_type).type
+    if _use_pallas_impl(impl):
+        return _fused_conv_pallas_mats(
+            list(xs), list(scales), list(biases), band, wplus, wminus,
+            1, 1, X, nb, bs, relu, pet, interpret=_INTERPRET,
+            dyn_extents=dyn_extents, dyn_valid_in=valid_in)
+    return _fused_conv_ref_mats(
+        list(xs), list(scales), list(biases), band, wplus, wminus,
+        1, 1, X, nb, bs, relu, pet, dyn_extents=dyn_extents,
+        dyn_valid_in=valid_in)
 
 
 def unpack_slots(xp: jnp.ndarray, X: int, nb: int, bs: int,
