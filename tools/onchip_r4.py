@@ -81,6 +81,53 @@ print("ONCHIP_RESULT " + json.dumps({
     "shape": [Y, Z, X], "enface": [EH, EW], "hd95_value": hd}))
 """
 
+# bucketed eval: a NON-bucket-aligned true shape padded by the harness
+# heuristic, extent-masked fused kernels active (the production
+# default path) — also the first Mosaic compile check of the dyn
+# kernels.
+EVAL_BUCKET_CODE = r"""
+import json, time
+import numpy as np
+import jax, jax.numpy as jnp
+from multimodal_fusion_fpn_tpu.config import make_config
+from multimodal_fusion_fpn_tpu.eval.harness import _bucket_pad, stack_ensemble
+from multimodal_fusion_fpn_tpu.models.zoo import build_model
+from multimodal_fusion_fpn_tpu.train.optim import sgd
+from multimodal_fusion_fpn_tpu.train.state import create_train_state
+from multimodal_fusion_fpn_tpu.train.step import (make_ensemble_eval_step,
+                                                  model_batch)
+
+Y, Z, X = 48, 496, 176   # 176 % 64 != 0 -> harness pads to 192
+EH, EW = 208, 176
+rng = np.random.default_rng(0)
+batch = {
+    "image": rng.normal(size=(1, 1, Y, Z, X)).astype(np.float32),
+    "slo": rng.normal(size=(1, 1, EH, 1, EW)).astype(np.float32),
+    "mask": (rng.random((1, 1, Y, 1, X)) > 0.7).astype(np.float32),
+}
+cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                  fusion_modality="slo", training_dataset="hrf_fusion")
+model = build_model(cfg, dtype=jnp.float32, remat=False)
+mb = _bucket_pad(model_batch(batch), 64)
+st = create_train_state(model, sgd(0.1), jax.random.PRNGKey(0), mb)
+sp = stack_ensemble([st.params] * 5)
+sb = stack_ensemble([st.batch_stats] * 5)
+step = make_ensemble_eval_step(model, with_hd=False)
+dev_in = jax.device_put(mb)
+out = step(sp, sb, dev_in)
+_ = float(np.asarray(out["prediction"]).sum())
+n = 10
+t0 = time.time()
+for i in range(n):
+    out = step(sp, sb, dev_in)
+    s = float(np.asarray(out["prediction"][0, 0, 0, 0, :8]).sum())
+dt = (time.time() - t0) / n
+print("ONCHIP_RESULT " + json.dumps({
+    "phase": "eval_bucketed_dyn", "ms_per_image": round(dt * 1000, 1),
+    "img_per_s": round(1.0 / dt, 2),
+    "true_shape": [Y, Z, X], "padded_x": int(mb["image"].shape[4])}))
+"""
+
 TRAIN_CODE = r"""
 import json, sys
 sys.path.insert(0, {repo!r})
@@ -160,6 +207,12 @@ def main():
                                  '"phase": "eval_ensemble5_hd_pair"')
         run_phase("eval_ensemble5_hd_pair", code,
                   {"MMF_FUSED_PAIR": "1"}, args.timeout, args.log)
+    # bucketed (extent-masked) eval — the production default path;
+    # first Mosaic compile check of the dyn kernels.
+    if (not args.only or args.only == "eval_bucketed_dyn") \
+            and "eval_bucketed_dyn" not in done:
+        run_phase("eval_bucketed_dyn", EVAL_BUCKET_CODE, {},
+                  args.timeout, args.log)
     print(f"# results in {args.log}")
 
 
