@@ -37,6 +37,7 @@ Supported kernels: every tap in {1, 3}, stride 1, SAME — the (1,3,3),
 """
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -426,6 +427,16 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
     kz = 3 if wplus is not None else 1
     assert RX == X * nb, (xs[0].shape, X, nb)
     dt = xs[0].dtype
+
+    if kY == 3 and kX == 1 and wplus is None and not dyn_valid_in:
+        # (3,1,1) convs: the Y-chunked kernel reads (1+2/G)x instead of
+        # 3x of the input (PERF.md roadmap 2).
+        G = _ychunk_G(Y)
+        if G:
+            return _fused_conv_pallas_yck(
+                xs, scales, biases, band, G, X, nb, bs, relu,
+                preferred_element_type, interpret, with_stats,
+                dyn_extents)
 
     ops = []
     in_specs = []
@@ -1371,6 +1382,13 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
     CCo = g.shape[-1]
     dt = xs[0].dtype
 
+    if (kY == 3 and kX == 1 and not want_wrap and stats_cot is None):
+        # (3,1,1) dband: chunk the kY x-slab reads (3x -> 1+2/G).
+        G = _ychunk_G(Y)
+        if G:
+            return _dband_pallas_yck(xs, scales, biases, g, G, relu,
+                                     interpret)
+
     ops = []
     in_specs = []
     for i in range(n_in):
@@ -1579,6 +1597,14 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     dt = xs[0].dtype
     kz = 3 if wplusT is not None else 1
 
+    if (kY == 3 and kX == 1 and wplusT is None
+            and stats_cot is None):
+        # (3,1,1) backward: chunk the kY g-slab reads (3x -> 1+2/G).
+        G = _ychunk_G(Y)
+        if G:
+            return _dx_pallas_yck(xs, scales, biases, g, bandT, G,
+                                  relu, interpret)
+
     ops = []
     in_specs = []
     for i in range(n_in):
@@ -1650,3 +1676,406 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     dss = [o.reshape(-1) for o in out[n_in:2 * n_in]]
     db = out[-1].reshape(-1)
     return dxs, dss, db
+
+
+# --------------------------------------------------------------------------
+# Y-chunked kernels for the kY==3 (3,1,1) convs (round 4, PERF roadmap 2)
+# --------------------------------------------------------------------------
+#
+# The per-row grid reads each y slab kY times (the clamped neighbour
+# index maps re-fetch it as dy=0/1/2 of three different steps); with G
+# output rows per grid step the kernel reads a (1, G, RX, CC) main
+# block plus two single-row halo refs — G+2 row reads for G outputs, so
+# input traffic drops from 3x to (1+2/G)x (G=8: 1.25x).  Restricted to
+# kY==3, kX==1, kz==1 (the encoder (3,1,1) convs, reference
+# ``models/fpn/unets3D.py:187-219``): no x-rolls or z-wraps, each row's
+# taps are three plain (RX, CC) @ (CC, CCo) dots — identical in form to
+# the per-row kernel's, only the read pattern changes.  MMF_YCHUNK=0
+# reverts to the per-row kernels (on-chip A/B in tools/onchip_r4.py).
+
+def _ychunk_G(Y: int) -> int:
+    """Largest G in {8, 4, 2} dividing Y, capped by MMF_YCHUNK
+    (unset = 8; "0"/"1" disables)."""
+    try:
+        cap = int(os.environ.get("MMF_YCHUNK", "8"))
+    except ValueError:
+        cap = 8
+    for g in (8, 4, 2):
+        if g <= cap and Y % g == 0:
+            return g
+    return 0
+
+
+def _yck_rows(x_triplets, sb_refs, n_in, G, c, nch, relu,
+              dyn=None):
+    """The activated rows t[-1..G] of a chunk: per-row affine(+ReLU)
+    over main/halo refs, true-edge halos zeroed (their index maps
+    clamp).  ``dyn`` = (ext_ref, dyn_valid) masks beyond the true
+    extents (bucketed eval)."""
+    ts = []
+    for g in range(-1, G + 1):
+        t = None
+        for i in range(n_in):
+            main, top, bot = x_triplets[i]
+            xv = top[0, 0] if g < 0 else (bot[0, 0] if g == G
+                                          else main[0, g])
+            s_ref, b_ref = sb_refs[i]
+            term = xv * s_ref[:] + b_ref[:]
+            t = term if t is None else t + term
+        if relu:
+            t = jnp.maximum(t, 0.0)
+        if dyn is not None:
+            ext_ref, dyn_valid = dyn
+            t = jnp.where(dyn_valid, t, jnp.zeros((), t.dtype))
+            yg = c * G + g
+            yv = jnp.logical_and(
+                yg >= 0,            # top halo of chunk 0
+                yg < ext_ref[0])    # mosaic-f32-ok: int32 scalar
+            t = t * yv.astype(t.dtype)
+        elif g < 0:
+            t = t * (c > 0).astype(t.dtype)
+        elif g == G:
+            t = t * (c < nch - 1).astype(t.dtype)
+        ts.append(t)
+    return ts
+
+
+def _yck_kernel(*refs, n_in: int, G: int, nb: int, bs: int, relu: bool,
+                out_dtype, with_stats: bool, with_dyn: bool):
+    # operands: per input i: main (1,G,RX,CC), top (1,1,RX,CC),
+    # bot (1,1,RX,CC); per input: scale, bias; [ext (SMEM) if with_dyn;]
+    # band (3, CC, CCo); outputs: y (1,G,RX,CCo) [, s1, s2].
+    idx = 0
+    x_triplets = []
+    for _ in range(n_in):
+        x_triplets.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    if with_dyn:
+        ext_ref = refs[idx]; idx += 1
+    band_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]; idx += 1
+    if with_stats:
+        s1_ref = refs[idx]; idx += 1
+        s2_ref = refs[idx]
+
+    c = pl.program_id(1)
+    nch = pl.num_programs(1)
+    if with_stats:
+        step = pl.program_id(0) * nch + c
+
+        @pl.when(step == 0)
+        def _():
+            s1_ref[...] = jnp.zeros_like(s1_ref)
+            s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    dyn = None
+    if with_dyn:
+        RX = x_triplets[0][0].shape[-2]
+        CC_in = x_triplets[0][0].shape[-1]
+        ci_in = CC_in // bs
+        rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_in), 1)
+        zlog = jax.lax.rem(rows_i, nb) * bs + lane // ci_in
+        dyn_valid = jnp.logical_and(
+            rows_i // nb < ext_ref[1],  # mosaic-f32-ok: int32 compare
+            zlog < ext_ref[2])          # mosaic-f32-ok: int32 compare
+        dyn = (ext_ref, dyn_valid)
+
+    ts = _yck_rows(x_triplets, sb_refs, n_in, G, c, nch, relu, dyn)
+    for g in range(G):
+        acc = None
+        for dy in range(3):
+            a = jax.lax.dot_general(
+                ts[g + dy], band_ref[dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = a if acc is None else acc + a
+        yv = acc.astype(out_dtype)
+        out_ref[0, g] = yv
+        if with_stats:
+            yf = yv.astype(jnp.float32)
+            s1_ref[...] += jnp.sum(yf, axis=0, keepdims=True)
+            s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
+
+
+def _yck_x_specs(x, G, Y, RX, CC):
+    """(main, top-halo, bottom-halo) operand/spec pairs for one input."""
+    specs = [
+        pl.BlockSpec((1, G, RX, CC), lambda b, c: (b, c, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, RX, CC),
+                     lambda b, c: (b, jnp.maximum(c * G - 1, 0), 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, RX, CC),
+                     lambda b, c: (b, jnp.minimum(c * G + G, Y - 1),
+                                   0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return [x, x, x], specs
+
+
+def _fused_conv_pallas_yck(xs, scales, biases, band, G: int, X: int,
+                           nb: int, bs: int, relu: bool,
+                           preferred_element_type, interpret: bool,
+                           with_stats: bool, dyn_extents):
+    n_in = len(xs)
+    B, Y, RX, CC = xs[0].shape
+    co = band.shape[-1] // bs
+    dt = xs[0].dtype
+
+    ops = []
+    in_specs = []
+    for i in range(n_in):
+        o, s = _yck_x_specs(xs[i], G, Y, RX, CC)
+        ops += o
+        in_specs += s
+    for i in range(n_in):
+        s = scales[i]
+        b = biases[i]
+        ops.append(jnp.ones((1, CC), dt) if s is None
+                   else s.astype(dt).reshape(1, CC))
+        ops.append(jnp.zeros((1, CC), dt) if b is None
+                   else b.astype(dt).reshape(1, CC))
+        in_specs += [pl.BlockSpec((1, CC), lambda b, c: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    if dyn_extents is not None:
+        yt, xt, zt = dyn_extents
+        ops.append(jnp.stack([jnp.asarray(yt, jnp.int32),
+                              jnp.asarray(xt, jnp.int32),
+                              jnp.asarray(zt, jnp.int32)]))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    ops.append(band.astype(dt))
+    in_specs.append(pl.BlockSpec(band.shape, lambda b, c: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    kern = functools.partial(
+        _yck_kernel, n_in=n_in, G=G, nb=nb, bs=bs, relu=relu,
+        out_dtype=preferred_element_type, with_stats=with_stats,
+        with_dyn=dyn_extents is not None)
+
+    y_spec = pl.BlockSpec((1, G, RX, bs * co), lambda b, c: (b, c, 0, 0),
+                          memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((B, Y, RX, bs * co),
+                                   preferred_element_type)
+    if with_stats:
+        acc_spec = pl.BlockSpec((1, bs * co), lambda b, c: (0, 0),
+                                memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((1, bs * co), jnp.float32)
+        out_specs = (y_spec, acc_spec, acc_spec)
+        out_shape = (y_shape, acc_shape, acc_shape)
+    else:
+        out_specs, out_shape = y_spec, y_shape
+    return pl.pallas_call(
+        kern,
+        grid=(B, Y // G),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(*ops)
+
+
+def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
+    # operands: per fwd-input i: center x (1,G,RX,CC); per i: scale,
+    # bias; g main (1,G,RX,CCg), g top, g bot; bandT (3, CCg, CC);
+    # outputs: n_in dx (1,G,RX,CC), n_in ds (1,CC), db (1,CC).
+    idx = 0
+    x_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    g_main, g_top, g_bot = refs[idx], refs[idx + 1], refs[idx + 2]
+    idx += 3
+    band_ref = refs[idx]; idx += 1
+    dx_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    ds_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    db_ref = refs[idx]
+
+    c = pl.program_id(1)
+    nch = pl.num_programs(1)
+    step = pl.program_id(0) * nch + c
+
+    @pl.when(step == 0)
+    def _():
+        for i in range(n_in):
+            ds_refs[i][...] = jnp.zeros_like(ds_refs[i])
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    gs = []
+    for g in range(-1, G + 1):
+        gv = g_top[0, 0] if g < 0 else (g_bot[0, 0] if g == G
+                                        else g_main[0, g])
+        if g < 0:
+            gv = gv * (c > 0).astype(gv.dtype)
+        elif g == G:
+            gv = gv * (c < nch - 1).astype(gv.dtype)
+        gs.append(gv)
+
+    for g in range(G):
+        dt_l = None
+        for dy in range(3):
+            a = jax.lax.dot_general(
+                gs[g + dy], band_ref[dy],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dt_l = a if dt_l is None else dt_l + a
+        if relu:
+            pre = None
+            for i in range(n_in):
+                s_ref, b_ref = sb_refs[i]
+                term = x_refs[i][0, g] * s_ref[:] + b_ref[:]
+                pre = term if pre is None else pre + term
+            # Mosaic rejects sub-32-bit vector compares: compare in fp32
+            dtm = jnp.where(pre.astype(jnp.float32) > 0, dt_l, 0.0)
+        else:
+            dtm = dt_l
+        db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)
+        for i in range(n_in):
+            s_ref, _ = sb_refs[i]
+            dx_refs[i][0, g] = (
+                dtm * s_ref[:].astype(jnp.float32)).astype(out_dtype)
+            ds_refs[i][...] += jnp.sum(
+                dtm * x_refs[i][0, g].astype(jnp.float32), axis=0,
+                keepdims=True)
+
+
+def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
+                   interpret: bool):
+    n_in = len(xs)
+    B, Y, RX, CC = xs[0].shape
+    CCg = g.shape[-1]
+    dt = xs[0].dtype
+
+    ops = []
+    in_specs = []
+    for i in range(n_in):
+        ops.append(xs[i])
+        in_specs.append(pl.BlockSpec((1, G, RX, CC),
+                                     lambda b, c: (b, c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+    for i in range(n_in):
+        s = scales[i]
+        b = biases[i]
+        ops.append(jnp.ones((1, CC), dt) if s is None
+                   else s.astype(dt).reshape(1, CC))
+        ops.append(jnp.zeros((1, CC), dt) if b is None
+                   else b.astype(dt).reshape(1, CC))
+        in_specs += [pl.BlockSpec((1, CC), lambda b, c: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    go, gspecs = _yck_x_specs(g.astype(dt), G, Y, RX, CCg)
+    ops += go
+    in_specs += gspecs
+    ops.append(bandT.astype(dt))
+    in_specs.append(pl.BlockSpec((3, CCg, CC), lambda b, c: (0, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_yck_dx_kernel, n_in=n_in, G=G, relu=relu,
+                             out_dtype=dt)
+    slab_spec = pl.BlockSpec((1, G, RX, CC), lambda b, c: (b, c, 0, 0),
+                             memory_space=pltpu.VMEM)
+    acc_spec = pl.BlockSpec((1, CC), lambda b, c: (0, 0),
+                            memory_space=pltpu.VMEM)
+    out_specs = ([slab_spec] * n_in + [acc_spec] * (n_in + 1))
+    out_shapes = ([jax.ShapeDtypeStruct((B, Y, RX, CC), dt)] * n_in
+                  + [jax.ShapeDtypeStruct((1, CC), jnp.float32)]
+                  * (n_in + 1))
+    out = pl.pallas_call(
+        kern,
+        grid=(B, Y // G),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(*ops)
+    dxs = list(out[:n_in])
+    dss = [o.reshape(-1) for o in out[n_in:2 * n_in]]
+    db = out[-1].reshape(-1)
+    return dxs, dss, db
+
+
+def _yck_dband_kernel(*refs, n_in: int, G: int, relu: bool):
+    # operands: per input i: main/top/bot x; per i: scale, bias;
+    # g (1,G,RX,CCo); output: (3, CC, CCo) accumulator.
+    idx = 0
+    x_triplets = []
+    for _ in range(n_in):
+        x_triplets.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+        idx += 3
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    g_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]
+
+    c = pl.program_id(1)
+    nch = pl.num_programs(1)
+    step = pl.program_id(0) * nch + c
+
+    @pl.when(step == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    ts = _yck_rows(x_triplets, sb_refs, n_in, G, c, nch, relu)
+    dn = (((0,), (0,)), ((), ()))
+    for g in range(G):
+        gm = g_ref[0, g]
+        for dy in range(3):
+            # dband[dy] = sum_y t[y + dy - 1]^T g[y]
+            out_ref[dy] += jax.lax.dot_general(
+                ts[g + dy], gm, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+
+def _dband_pallas_yck(xs, scales, biases, g, G: int, relu: bool,
+                      interpret: bool):
+    n_in = len(xs)
+    B, Y, RX, CC = xs[0].shape
+    CCo = g.shape[-1]
+    dt = xs[0].dtype
+
+    ops = []
+    in_specs = []
+    for i in range(n_in):
+        o, s = _yck_x_specs(xs[i], G, Y, RX, CC)
+        ops += o
+        in_specs += s
+    for i in range(n_in):
+        s = scales[i]
+        b = biases[i]
+        ops.append(jnp.ones((1, CC), dt) if s is None
+                   else s.astype(dt).reshape(1, CC))
+        ops.append(jnp.zeros((1, CC), dt) if b is None
+                   else b.astype(dt).reshape(1, CC))
+        in_specs += [pl.BlockSpec((1, CC), lambda b, c: (0, 0),
+                                  memory_space=pltpu.VMEM)] * 2
+    ops.append(g.astype(dt))
+    in_specs.append(pl.BlockSpec((1, G, RX, CCo),
+                                 lambda b, c: (b, c, 0, 0),
+                                 memory_space=pltpu.VMEM))
+
+    kern = functools.partial(_yck_dband_kernel, n_in=n_in, G=G,
+                             relu=relu)
+    return pl.pallas_call(
+        kern,
+        grid=(B, Y // G),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3, CC, CCo), lambda b, c: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, CC, CCo), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=interpret,
+    )(*ops)

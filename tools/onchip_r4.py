@@ -26,11 +26,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TRAIN_PHASES = [
-    # name, B, prec, remat, MMF_FUSED_STATS
-    ("train_b4_bf16_ws", 4, "bf16", False, "1"),
-    ("train_b4_bf16_nows", 4, "bf16", False, "0"),
-    ("train_b6_bf16_ws", 6, "bf16", False, "1"),
-    ("train_b8_bf16_remat_ws", 8, "bf16", True, "1"),
+    # name, B, prec, remat, env overrides
+    ("train_b4_bf16_ws", 4, "bf16", False, {"MMF_FUSED_STATS": "1"}),
+    ("train_b4_bf16_nows", 4, "bf16", False, {"MMF_FUSED_STATS": "0"}),
+    # Y-chunked (3,1,1) kernels A/B (round 4, PERF roadmap 2): the
+    # default is MMF_YCHUNK=8 (on), so _ws above measures WITH
+    # chunking; this phase isolates its contribution.
+    ("train_b4_bf16_noyck", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_YCHUNK": "0"}),
+    ("train_b6_bf16_ws", 6, "bf16", False, {"MMF_FUSED_STATS": "1"}),
+    ("train_b8_bf16_remat_ws", 8, "bf16", True,
+     {"MMF_FUSED_STATS": "1"}),
 ]
 
 EVAL_CODE = r"""
@@ -184,16 +190,16 @@ def main():
     args = ap.parse_args()
 
     done = set() if args.redo else done_phases(args.log)
-    for name, B, prec, remat, ws in TRAIN_PHASES:
+    for name, B, prec, remat, env in TRAIN_PHASES:
         if args.only and args.only != name:
             continue
         if name in done:
             print(f"# {name}: already done, skipping")
             continue
         code = TRAIN_CODE.format(repo=REPO, B=B, prec=prec, remat=remat,
-                                 name=name, ws=ws)
-        run_phase(name, code, {"MMF_FUSED_STATS": ws}, args.timeout,
-                  args.log)
+                                 name=name,
+                                 ws=env.get("MMF_FUSED_STATS", "1"))
+        run_phase(name, code, env, args.timeout, args.log)
     if (not args.only or args.only == "eval_ensemble5_hd") \
             and "eval_ensemble5_hd" not in done:
         run_phase("eval_ensemble5_hd", EVAL_CODE, {}, args.timeout,
