@@ -87,11 +87,28 @@ def _is_transient(exc: Exception) -> bool:
     return any(m in msg for m in TRANSIENT_MARKERS)
 
 
+# The round-4 kernel features are default-ON but individually
+# revertible by env; the "bf16_r4off" config rung disables them all —
+# a graceful intermediate between the default bf16 path and the fp32
+# cliff if a new kernel trips a Mosaic compile rule on the real chip.
+R4_OFF_ENV = {"MMF_FUSED_STATS": "0", "MMF_YCHUNK": "0",
+              "MMF_FUSED_PAIR": "0"}
+
+
+def _apply_prec_env(prec):
+    if prec.endswith("_r4off"):
+        os.environ.update(R4_OFF_ENV)
+
+
 def _run_config(B, prec, remat):
     """Build + compile + time one (batch, precision, remat) config.
 
-    Returns img/s and ms/step; raises on compile/run failure.
+    ``prec``: "bf16" / "fp32", optionally suffixed "_r4off" (disable
+    the round-4 kernel features via env — must run in a fresh child
+    process, the env is read at trace time).  Returns img/s and
+    ms/step; raises on compile/run failure.
     """
+    _apply_prec_env(prec)
     import jax
     import jax.numpy as jnp
     from multimodal_fusion_fpn_tpu.config import make_config
@@ -111,7 +128,7 @@ def _run_config(B, prec, remat):
     cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
                       fusion_modality="slo",
                       training_dataset="hrf_fusion")
-    dtype = jnp.bfloat16 if prec == "bf16" else jnp.float32
+    dtype = jnp.bfloat16 if prec.startswith("bf16") else jnp.float32
     model = build_model(cfg, dtype=dtype, remat=remat)
     tx = sgd(0.1)
     criterion = Mix({"Dice Loss": dice_loss_joint(),
@@ -318,10 +335,11 @@ def main():
     # (batch, precision, remat) candidates, best-first.  remat=False is
     # ~20% faster when the no-remat memory fits (see PERF.md).
     sweep = "--sweep" in sys.argv
-    configs = [(4, "bf16", False), (4, "fp32", False), (8, "bf16", True),
-               (1, "fp32", True)]
+    configs = [(4, "bf16", False), (4, "bf16_r4off", False),
+               (4, "fp32", False), (8, "bf16", True), (1, "fp32", True)]
     if sweep:
-        configs = [(4, "bf16", False), (6, "bf16", False), (4, "fp32", False),
+        configs = [(4, "bf16", False), (6, "bf16", False),
+                   (4, "bf16_r4off", False), (4, "fp32", False),
                    (8, "bf16", True), (1, "fp32", True)]
 
     t_start = time.monotonic()
@@ -401,6 +419,11 @@ def main():
             detail["bf16_failed"] = True
             detail["bf16_error"] = bf16_errs[-1]
             detail["repro"] = "tools/repro_bf16_kernels.py"
+            if prec.endswith("_r4off"):
+                # default bf16 failed but bf16 with the round-4 kernel
+                # features disabled succeeded: a NEW kernel broke the
+                # Mosaic compile, not the bf16 path as a whole.
+                detail["r4_kernels_failed"] = True
     _emit({
         "metric": "train_images_per_sec_per_chip",
         "value": round(img_s, 3),

@@ -170,3 +170,37 @@ def test_transient_classifier():
     assert not bench._is_transient(
         RuntimeError("RESOURCE_EXHAUSTED: out of memory"))
     assert not bench._is_transient(RuntimeError("shape mismatch"))
+
+
+def test_r4off_rung_wins_when_default_bf16_permafails():
+    """If the default bf16 path hits a permanent Mosaic compile error
+    (a new round-4 kernel rejected on the real chip), the bf16_r4off
+    rung must win before any fp32 fallback."""
+    configs = [(4, "bf16", False), (4, "bf16_r4off", False),
+               (4, "fp32", False)]
+    calls = []
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        if prec == "bf16":
+            raise RuntimeError(
+                "INTERNAL: Mosaic failed to compile TPU kernel: "
+                "unsupported shape")
+        return (20.0 if prec.startswith("bf16") else 12.0), 0.2
+
+    best = bench.run_bench(configs, run=run, sleep=_no_sleep)
+    img_s, _B, prec, _remat, _dt = best
+    assert prec == "bf16_r4off" and img_s == 20.0
+    assert "fp32" not in calls
+
+
+def test_apply_prec_env(monkeypatch):
+    for k in bench.R4_OFF_ENV:
+        monkeypatch.delenv(k, raising=False)
+    bench._apply_prec_env("bf16")
+    assert "MMF_YCHUNK" not in __import__("os").environ
+    bench._apply_prec_env("bf16_r4off")
+    env = __import__("os").environ
+    assert env["MMF_YCHUNK"] == "0"
+    assert env["MMF_FUSED_STATS"] == "0"
+    assert env["MMF_FUSED_PAIR"] == "0"
