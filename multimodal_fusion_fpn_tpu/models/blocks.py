@@ -521,6 +521,64 @@ class ConvX(nn.Module):
         # compile is verified on chip (tools/onchip_r4.py).
         pair_ok = (not train
                    and _os.environ.get("MMF_FUSED_PAIR", "0") == "1")
+
+        # Eval-only whole-block chain kernel (MMF_FUSED_CHAIN=1,
+        # supersedes the 2-conv pair): ALL convs of the block plus the
+        # downsample residual and the final ReLU in ONE kernel — every
+        # intermediate stays in VMEM; the trailing (3,1,1) conv rides
+        # the Y-chunk halo structure.  Opt-in until the Mosaic compile
+        # is verified on chip (tools/onchip_r4.py).
+        chain_ok = (not train
+                    and _os.environ.get("MMF_FUSED_CHAIN", "0") == "1")
+        if chain_ok and n - (1 if narrow else 0) >= 2:
+            from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv \
+                import fused_chain_eval
+            if narrow:
+                y0 = conv_narrow(tuple(self.kernels[0]) + (ci0, co),
+                                 "conv0")
+                s0, b0 = bn(None, "bn0")
+                xin, en_s, en_b, relu0, start = y0, s0, b0, True, 1
+            else:
+                xin, en_s, en_b, relu0, start = xp, None, None, False, 0
+            convs = []
+            ci_j = co if narrow else ci0
+            for i in range(start, n):
+                w = _ConvKernel(tuple(self.kernels[i]) + (ci_j, co),
+                                name=f"conv{i}")()
+                s_i, b_i = bn(None, f"bn{i}")
+                convs.append((w.astype(dt), s_i, b_i))
+                ci_j = co
+            if narrow:
+                final, ds_p = "affine", None
+            elif self.residual and self.downsample:
+                wd = _ConvKernel((1,) * nsp + (ci0, co),
+                                 name="ds_conv")()
+                sd, bd = bn(None, "ds_bn")
+                final, ds_p = "res_conv", (wd.astype(dt), sd, bd)
+            elif self.residual:
+                final, ds_p = "res_id", None
+            else:
+                final, ds_p = "relu", None
+            out = fused_chain_eval(xin, en_s, en_b, relu0, convs,
+                                   final, ds_p, X, nb, bs,
+                                   preferred_element_type=dt,
+                                   dyn_extents=dyn)
+            if final == "affine":
+                # narrow start: the residual stays on the compact
+                # banded ds path; epilogue in XLA as per-conv.
+                if self.residual:
+                    if self.downsample:
+                        yd = conv_narrow((1,) * nsp + (ci0, co),
+                                         "ds_conv")
+                        sd, bd = bn(yd, "ds_bn")
+                        out = out + yd * sd + bd
+                    else:
+                        out = out + xp
+                out = nn.relu(out)
+            if dyn is not None:
+                out = mask_packed_dyn(out, X, nb, bs, dyn)
+            return out
+
         ci = ci0
         cur, cur_s, cur_b = xp, None, None
         i = 0

@@ -1120,6 +1120,272 @@ def fused_conv2_eval(x, s0, b0, w0, s_mid, b_mid, w1, X: int, nb: int,
     )(*ops)
 
 
+# ---------------------------------------------------------------------------
+# Eval-mode whole-block chain kernel (round 4, beyond PERF.md roadmap 3)
+# ---------------------------------------------------------------------------
+#
+# In eval EVERY BN affine comes from running stats (parameters), so an
+# entire ConvX block — all convs, the 1x1 downsample residual and the
+# final ReLU (reference ``models/fpn/unets3D.py:187-219``) — is a pure
+# per-position function of a (G+2)-row window of the input: ONE kernel
+# reads x once and writes the block output once; every intermediate
+# stays in VMEM.  The trailing (3,1,1) conv uses the Y-chunk structure
+# (main block + single-row halos); at most one kY==3 conv is supported.
+# Training cannot use this (each conv's batch stats gate the next
+# affine).  Gated by MMF_FUSED_CHAIN (default off until the Mosaic
+# compile is verified on chip — tools/onchip_r4.py).
+
+def _chain_kernel(*refs, n_conv: int, kYs, kXs, kzs, G: int, halo: int,
+                  nb: int, bs: int, relu0: bool, final: str, out_dtype,
+                  x_dtype, with_dyn: bool):
+    # operands: x main (1,G,RX,CC) [, x top, x bot when halo]; s_in,
+    # b_in; per conv j: band_j [, wrap_j when kz==3], s_j, b_j;
+    # [ds_band, sd, bd when final=='res_conv';] [ext when with_dyn;]
+    # out (1,G,RX,CCo).
+    idx = 0
+    x_main = refs[idx]; idx += 1
+    if halo:
+        x_top = refs[idx]; x_bot = refs[idx + 1]; idx += 2
+    s_in, b_in = refs[idx], refs[idx + 1]; idx += 2
+    conv_refs = []
+    for j in range(n_conv):
+        band = refs[idx]; idx += 1
+        wrap = None
+        if kzs[j] == 3:
+            wrap = refs[idx]; idx += 1
+        s_j, b_j = refs[idx], refs[idx + 1]; idx += 2
+        conv_refs.append((band, wrap, s_j, b_j))
+    if final == "res_conv":
+        ds_band, sd_ref, bd_ref = refs[idx], refs[idx + 1], refs[idx + 2]
+        idx += 3
+    if with_dyn:
+        ext_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]
+
+    c = pl.program_id(1)
+    nch = pl.num_programs(1)
+    RX = x_main.shape[-2]
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    mrow = jax.lax.rem(rows_i, nb)
+
+    def dyn_mask(CC_w):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_w), 1)
+        zslot = mrow * bs + lane // (CC_w // bs)
+        return jnp.logical_and(
+            rows_i // nb < ext_ref[1],  # mosaic-f32-ok: int32 compare
+            zslot < ext_ref[2])         # mosaic-f32-ok: int32 compare
+
+    def y_valid(off):
+        yg = c * G + off
+        return jnp.logical_and(
+            yg >= 0,
+            yg < ext_ref[0])  # mosaic-f32-ok: int32 scalar
+
+    # entry rows: affine(+relu0), true-edge halos zeroed
+    offs = list(range(-halo, G + halo))
+    if with_dyn:
+        m_in = dyn_mask(x_main.shape[-1])
+    rows = []
+    for off in offs:
+        xv = x_main[0, off] if 0 <= off < G else (
+            x_top[0, 0] if off < 0 else x_bot[0, 0])
+        t = xv * s_in[:] + b_in[:]
+        if relu0:
+            t = jnp.maximum(t, 0.0)
+        if with_dyn:
+            t = jnp.where(m_in, t, jnp.zeros((), t.dtype))
+            t = t * y_valid(off).astype(t.dtype)
+        elif off < 0:
+            t = t * (c > 0).astype(t.dtype)
+        elif off >= G:
+            t = t * (c < nch - 1).astype(t.dtype)
+        rows.append(t)
+
+    for j in range(n_conv):
+        band, wrap, s_j, b_j = conv_refs[j]
+        if kYs[j] == 1:
+            new = [_conv_taps(t, band, wrap, kXs[j], kzs[j], nb, RX,
+                              bs, mrow, rows_i) for t in rows]
+        else:
+            # the single kY==3 conv consumes the halo rows:
+            # out[g] = sum_dy rows[g + dy - 1] @ band[dy]
+            assert kXs[j] == 1 and kzs[j] == 1 and len(rows) == G + 2
+            new = []
+            for g in range(G):
+                acc = None
+                for dy in range(3):
+                    a = jax.lax.dot_general(
+                        rows[g + dy], band[dy],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    acc = a if acc is None else acc + a
+                new.append(acc)
+            offs = list(range(G))
+        if j == n_conv - 1:
+            # final affine in the materialization dtype (bit-parity
+            # with the per-op path's HBM round trip)
+            outs = [(a.astype(out_dtype) * s_j[:]
+                     + b_j[:]).astype(x_dtype) for a in new]
+        else:
+            if with_dyn:
+                m_mid = dyn_mask(band.shape[-1])
+            rows = []
+            for a, off in zip(new, offs):
+                t = (a.astype(out_dtype) * s_j[:]
+                     + b_j[:]).astype(x_dtype)
+                t = jnp.maximum(t, 0.0)
+                if with_dyn:
+                    t = jnp.where(m_mid, t, jnp.zeros((), t.dtype))
+                    t = t * y_valid(off).astype(t.dtype)
+                elif off < 0:
+                    # the affine bias re-pollutes the zeroed true-edge
+                    # halo rows; the downstream kY==3 conv must see
+                    # SAME-pad zeros there
+                    t = t * (c > 0).astype(t.dtype)
+                elif off >= G:
+                    t = t * (c < nch - 1).astype(t.dtype)
+                rows.append(t)
+
+    for g in range(G):
+        o = outs[g]
+        if final == "res_id":
+            o = o + x_main[0, g]
+        elif final == "res_conv":
+            yd = jax.lax.dot_general(
+                x_main[0, g], ds_band[0],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(x_dtype)
+            o = o + yd * sd_ref[:] + bd_ref[:]
+        if final != "affine":
+            o = jnp.maximum(o, 0.0)
+        out_ref[0, g] = o.astype(out_dtype)
+
+
+def fused_chain_eval(x, s_in, b_in, relu0, convs, final, ds, X: int,
+                     nb: int, bs: int,
+                     preferred_element_type=jnp.float32,
+                     impl: str = "auto", dyn_extents=None):
+    """EVAL-ONLY whole-block fused chain on the thick layout.
+
+    ``convs``: sequence of (w, s_post, b_post) — logical (kY,kX,kz,ci,
+    co) weights with every tap in {1,3} (at most ONE kY==3 conv), each
+    followed by its folded-BN affine (bs-tiled (bs*co,) vectors).
+    ``final``: 'affine' (emit last affine raw — caller continues),
+    'relu', 'res_id' (+x identity residual), 'res_conv' (+1x1
+    downsample residual, ``ds`` = (w_ds, sd, bd)).  ``s_in``/``b_in``/
+    ``relu0``: prologue of the first conv (mid-block chain entry).
+    No custom VJP — eval only (training has per-conv BN barriers)."""
+    assert _SPACE is None, "fused_chain_eval not supported under a mesh"
+    assert final in ("affine", "relu", "res_id", "res_conv"), final
+    dt = x.dtype
+    pet = jnp.dtype(preferred_element_type).type
+    B, Y, RX, CC = x.shape
+
+    mats = []
+    for w, s_post, b_post in convs:
+        kY, kX, kz, ci, co = w.shape
+        band, wplus, wminus = _band_wrap_matrices(w.astype(dt), bs)
+        mats.append((band, wplus, wminus, kY, kX, kz, s_post, b_post))
+    kYs = [m[3] for m in mats]
+    assert sum(1 for k in kYs if k == 3) <= 1, kYs
+    if final == "res_conv":
+        w_ds, sd, bd = ds
+        ds_band, _, _ = _band_wrap_matrices(w_ds.astype(dt), bs)
+
+    if not _use_pallas_impl(impl):
+        # per-op composition (bit-identical to the unfused eval path)
+        cur, cs, cb, crelu = x, s_in, b_in, relu0
+        for band, wplus, wminus, kY, kX, kz, s_post, b_post in mats:
+            cur = _fused_conv_ref_mats(
+                [cur], [cs], [cb], band, wplus, wminus, kY, kX, X, nb,
+                bs, crelu, dt, dyn_extents=dyn_extents)
+            cs, cb, crelu = s_post, b_post, True
+        out = cur * mats[-1][6].astype(dt) + mats[-1][7].astype(dt)
+        if final == "res_id":
+            out = out + x
+        elif final == "res_conv":
+            yd = _fused_conv_ref_mats(
+                [x], [None], [None], ds_band, None, None, 1, 1, X, nb,
+                bs, False, dt, dyn_extents=dyn_extents)
+            out = out + yd * sd.astype(dt) + bd.astype(dt)
+        if final != "affine":
+            out = jnp.maximum(out, 0.0)
+        return out.astype(pet)
+
+    halo = 1 if 3 in kYs else 0
+    G = _ychunk_G(Y) or 1
+    if not halo and Y % G:
+        G = 1
+
+    ops = [x]
+    in_specs = [pl.BlockSpec((1, G, RX, CC), lambda b, c: (b, c, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    if halo:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, RX, CC),
+            lambda b, c: (b, jnp.maximum(c * G - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec(
+            (1, 1, RX, CC),
+            lambda b, c: (b, jnp.minimum(c * G + G, Y - 1), 0, 0),
+            memory_space=pltpu.VMEM))
+        ops += [x, x]
+    ops.append(jnp.ones((1, CC), dt) if s_in is None
+               else s_in.astype(dt).reshape(1, CC))
+    ops.append(jnp.zeros((1, CC), dt) if b_in is None
+               else b_in.astype(dt).reshape(1, CC))
+    vspec = lambda n: pl.BlockSpec((1, n), lambda b, c: (0, 0),
+                                   memory_space=pltpu.VMEM)
+    in_specs += [vspec(CC)] * 2
+    mspec = lambda m: pl.BlockSpec(m.shape, lambda b, c: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+    kXs, kzs = [], []
+    for band, wplus, wminus, kY, kX, kz, s_post, b_post in mats:
+        ops.append(band.astype(dt))
+        in_specs.append(mspec(band))
+        if kz == 3:
+            ops.append((wplus + wminus).astype(dt))
+            in_specs.append(mspec(band))
+        CCn = band.shape[-1]
+        ops.append(s_post.astype(dt).reshape(1, CCn))
+        ops.append(b_post.astype(dt).reshape(1, CCn))
+        in_specs += [vspec(CCn)] * 2
+        kXs.append(kX)
+        kzs.append(kz)
+    if final == "res_conv":
+        ops.append(ds_band.astype(dt))
+        in_specs.append(mspec(ds_band))
+        CCd = ds_band.shape[-1]
+        ops.append(sd.astype(dt).reshape(1, CCd))
+        ops.append(bd.astype(dt).reshape(1, CCd))
+        in_specs += [vspec(CCd)] * 2
+    if dyn_extents is not None:
+        yt, xt, zt = dyn_extents
+        ops.append(jnp.stack([jnp.asarray(yt, jnp.int32),
+                              jnp.asarray(xt, jnp.int32),
+                              jnp.asarray(zt, jnp.int32)]))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+
+    CCo = mats[-1][0].shape[-1]
+    kern = functools.partial(
+        _chain_kernel, n_conv=len(mats), kYs=tuple(kYs),
+        kXs=tuple(kXs), kzs=tuple(kzs), G=G, halo=halo, nb=nb, bs=bs,
+        relu0=relu0, final=final, out_dtype=pet, x_dtype=dt,
+        with_dyn=dyn_extents is not None)
+    return pl.pallas_call(
+        kern,
+        grid=(B, Y // G),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, G, RX, CCo),
+                               lambda b, c: (b, c, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Y, RX, CCo), pet),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2 ** 20),
+        interpret=_INTERPRET,
+    )(*ops)
+
+
 def interior_stats(y_raw: jnp.ndarray, X: int, nb: int, bs: int,
                    n_batch: int, n_y: int):
     """Per-logical-channel (mean, var) of a raw thick-layout output

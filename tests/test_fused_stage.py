@@ -250,3 +250,110 @@ def test_eval_conv_pair_kernel_interpret(monkeypatch):
                                relu=True, impl="ref")
             np.testing.assert_allclose(np.asarray(got), np.asarray(y2),
                                        rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ci,downsample", [(3, True), (8, True),
+                                           (8, False)])
+def test_eval_chain_parity(monkeypatch, ci, downsample):
+    """MMF_FUSED_CHAIN=1 (eval whole-block chain kernel): stage eval
+    output must match the per-conv fused path exactly — narrow entry
+    (ci=3), res_conv (downsample) and res_id variants, block1's
+    trailing (3,1,1) conv included."""
+    import os
+    stage, x = _stage_and_input(ci=ci, downsample=downsample)
+    set_fused_stage_mode("on")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+    out_ref = stage.apply(vs, x, train=False)
+    monkeypatch.setitem(os.environ, "MMF_FUSED_CHAIN", "1")
+    out_chain = stage.apply(vs, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_chain),
+                               np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_chain_kernel_interpret(monkeypatch):
+    """The _chain_kernel body (interpret mode) at stage level: the
+    whole EncoderStage eval forward through the REAL kernels vs the
+    per-conv XLA path, multi-chunk Y included."""
+    import os
+    from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as fc
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 4, 48, 8)).astype(np.float32))
+    stage = EncoderStage(8, downsample=True, ndim=3)
+    set_fused_stage_mode("on")
+    vs = stage.init(jax.random.PRNGKey(0), x)
+    out_ref = stage.apply(vs, x, train=False)
+    monkeypatch.setitem(os.environ, "MMF_FUSED_CHAIN", "1")
+    fc.set_interpret_mode(True)
+    try:
+        out_chain = stage.apply(vs, x, train=False)
+    finally:
+        fc.set_interpret_mode(False)
+    np.testing.assert_allclose(np.asarray(out_chain),
+                               np.asarray(out_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_chain_kernel_dyn_interpret(monkeypatch):
+    """fused_chain_eval under dynamic extents (interpret kernels) vs
+    its XLA twin and vs the per-conv dyn composition, with garbage
+    beyond the true extents."""
+    from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as fc
+
+    rng = np.random.default_rng(11)
+    B_, Y_, X_, nb_, bs_ = 1, 8, 3, 4, 8
+    ci = co = 4
+    x = jnp.asarray(rng.normal(size=(B_, Y_, X_, nb_ * bs_, ci)),
+                    jnp.float32)
+    xp = fc.pack(x, bs_)
+    dyn = (jnp.int32(6), jnp.int32(2), jnp.int32(20))
+
+    def mk(shape, scale=0.3, seed=0):
+        r = np.random.default_rng(seed)
+        return jnp.asarray(r.normal(size=shape) * scale, jnp.float32)
+
+    convs = [(mk((1, 3, 3, ci, co), seed=1),
+              mk((bs_ * co,), 1.0, 2), mk((bs_ * co,), 1.0, 3)),
+             (mk((1, 3, 3, co, co), seed=4),
+              mk((bs_ * co,), 1.0, 5), mk((bs_ * co,), 1.0, 6)),
+             (mk((3, 1, 1, co, co), seed=7),
+              mk((bs_ * co,), 1.0, 8), mk((bs_ * co,), 1.0, 9))]
+    ds = (mk((1, 1, 1, ci, co), seed=10),
+          mk((bs_ * co,), 1.0, 11), mk((bs_ * co,), 1.0, 12))
+
+    for final, ds_p in (("res_conv", ds), ("res_id", None),
+                        ("relu", None), ("affine", None)):
+        for d in (None, dyn):
+            ref = fc.fused_chain_eval(xp, None, None, False, convs,
+                                      final, ds_p, X_, nb_, bs_,
+                                      impl="ref", dyn_extents=d)
+            fc.set_interpret_mode(True)
+            try:
+                got = fc.fused_chain_eval(xp, None, None, False, convs,
+                                          final, ds_p, X_, nb_, bs_,
+                                          impl="pallas", dyn_extents=d)
+            finally:
+                fc.set_interpret_mode(False)
+            if d is not None:
+                got = fc.mask_packed_dyn(got, X_, nb_, bs_, d)
+                ref = fc.mask_packed_dyn(ref, X_, nb_, bs_, d)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=f"{final} dyn={d is not None}")
+
+    # per-conv oracle (no dyn): three fused convs + res_conv epilogue
+    y = fc.fused_conv([xp], [None], [None], convs[0][0], X_, nb_, bs_,
+                      relu=False, impl="ref")
+    y = fc.fused_conv([y], [convs[0][1]], [convs[0][2]], convs[1][0],
+                      X_, nb_, bs_, relu=True, impl="ref")
+    y = fc.fused_conv([y], [convs[1][1]], [convs[1][2]], convs[2][0],
+                      X_, nb_, bs_, relu=True, impl="ref")
+    out = y * convs[2][1] + convs[2][2]
+    yd = fc.fused_conv([xp], [None], [None], ds[0], X_, nb_, bs_,
+                       relu=False, impl="ref")
+    out = jnp.maximum(out + yd * ds[1] + ds[2], 0.0)
+    got = fc.fused_chain_eval(xp, None, None, False, convs, "res_conv",
+                              ds, X_, nb_, bs_, impl="ref")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(out),
+                               rtol=1e-5, atol=1e-5)

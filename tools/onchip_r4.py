@@ -219,6 +219,22 @@ def main():
             and "eval_bucketed_dyn" not in done:
         run_phase("eval_bucketed_dyn", EVAL_BUCKET_CODE, {},
                   args.timeout, args.log)
+    # whole-block chain kernel (MMF_FUSED_CHAIN, supersedes the pair):
+    # one kernel per ConvX block in eval — Mosaic compile check + A/B
+    # on both the plain and the bucketed-dyn eval paths.
+    if (not args.only or args.only == "eval_chain") \
+            and "eval_ensemble5_hd_chain" not in done:
+        code = EVAL_CODE.replace('"phase": "eval_ensemble5_hd"',
+                                 '"phase": "eval_ensemble5_hd_chain"')
+        run_phase("eval_ensemble5_hd_chain", code,
+                  {"MMF_FUSED_CHAIN": "1"}, args.timeout, args.log)
+    if (not args.only or args.only == "eval_chain") \
+            and "eval_bucketed_dyn_chain" not in done:
+        code = EVAL_BUCKET_CODE.replace(
+            '"phase": "eval_bucketed_dyn"',
+            '"phase": "eval_bucketed_dyn_chain"')
+        run_phase("eval_bucketed_dyn_chain", code,
+                  {"MMF_FUSED_CHAIN": "1"}, args.timeout, args.log)
     print(f"# results in {args.log}")
 
 
