@@ -34,11 +34,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="tiny")
     ap.add_argument("--strided", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="run the kernels in interpret mode on CPU "
+                         "(validates this script off-chip)")
     args = ap.parse_args()
 
     import jax
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from multimodal_fusion_fpn_tpu.ops.pallas import fused_conv as fc
+    if args.interpret:
+        fc.set_interpret_mode(True)
 
     geo = {"tiny": (2, 4, 8, 64, 8, 8),      # B Y X Z C bs
            "1": (2, 8, 32, 124, 16, 4),
@@ -100,6 +107,69 @@ def main():
             ok &= check("fwd", yp, yr, 1e-4, 1e-4)
             for nm, a, r in zip(("dx", "ds", "db", "dw"), gp, gr):
                 ok &= check(nm, a, r, 1e-4, 1e-4)
+
+    # round-4 kernels: out_stats epilogue/prologue fold (production
+    # train config), Y-chunked (3,1,1) vs per-row, eval chain kernel.
+    for kshape in ((1, 3, 3), (3, 1, 1)):
+        w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
+
+        def run_ws(impl, ychunk):
+            os.environ["MMF_YCHUNK"] = ychunk
+
+            def loss_fn(xp, s, b, w):
+                y, s1, s2 = fc.fused_conv(
+                    [xp], [s], [b], w, X, nb, bs, relu=True,
+                    preferred_element_type=dt, impl=impl,
+                    out_stats=True)
+                return (jnp.sum(y * g_seed) + jnp.sum(s1 * 3.0)
+                        + jnp.sum(s2 * 0.5)), (y, s1, s2)
+            (l, aux), grads = jax.jit(
+                lambda *a: jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
+            )(xp, s, b, w)
+            os.environ.pop("MMF_YCHUNK", None)
+            return jax.tree.map(np.asarray, (aux, grads))
+
+        ap_, gp_ = run_ws("pallas", "8")
+        ar_, gr_ = run_ws("ref", "8")
+        print(f"out_stats k={kshape} (ychunk on):", flush=True)
+        for nm, a, r in zip(("y", "s1", "s2"), ap_, ar_):
+            ok &= check(nm, a, r, 1e-4, 1e-4)
+        # dw at 3e-4: the in-kernel stats-cotangent fold accumulates
+        # g_total = g + gs1 + 2y*gs2 in a different fp32 association
+        # order than the ref's XLA pre-fold (both orders are valid).
+        for nm, a, r in zip(("dx", "ds", "db", "dw"), gp_, gr_):
+            ok &= check(nm, a, r, 3e-4, 3e-4)
+        if kshape[0] == 3:
+            ap2, gp2 = run_ws("pallas", "0")
+            print("out_stats (3,1,1) per-row vs chunked:", flush=True)
+            for nm, a, r in zip(("y", "s1", "s2"), ap2, ap_):
+                ok &= check(nm, a, r, 1e-4, 1e-4)
+            for nm, a, r in zip(("dx", "ds", "db", "dw"), gp2, gp_):
+                ok &= check(nm, a, r, 1e-4, 1e-4)
+
+    # eval chain kernel (MMF_FUSED_CHAIN path): block1 pattern
+    # (1,3,3)+(1,3,3)+(3,1,1) with the 1x1 downsample residual.
+    convs = []
+    r2 = np.random.default_rng(21)
+    for ks in ((1, 3, 3), (1, 3, 3), (3, 1, 1)):
+        wj = jnp.asarray(r2.normal(size=ks + (C, C)) * 0.3, dt)
+        sj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
+        bj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
+        convs.append((wj, sj, bj))
+    ds_p = (jnp.asarray(r2.normal(size=(1, 1, 1, C, C)) * 0.3, dt),
+            jnp.asarray(r2.normal(size=(bs * C,)), dt),
+            jnp.asarray(r2.normal(size=(bs * C,)), dt))
+
+    def run_chain(impl):
+        return np.asarray(jax.jit(
+            lambda xp: fc.fused_chain_eval(
+                xp, None, None, False, convs, "res_conv", ds_p, X, nb,
+                bs, preferred_element_type=dt, impl=impl))(xp))
+
+    print("eval chain (res_conv, trailing (3,1,1)):", flush=True)
+    ok &= check("chain", run_chain("pallas"), run_chain("ref"),
+                1e-4, 1e-4)
 
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
