@@ -702,8 +702,28 @@ def _fused_bwd_impl(cfg, res, g, stats_cot=None):
     gm = g.astype(dt_)
     use_pallas = _use_pallas_impl(impl)
 
+    # Merged dx+dband backward (round 4): both kernels read the same
+    # x/g[/y] slabs, so one kernel emitting dx, ds, db AND the weight
+    # cotangents deletes a full (x + g [+ y]) read per conv.  kY==1
+    # directly; kY==3 via the chunked variant.  MMF_MERGED_BWD=0
+    # reverts to the split kernels (on-chip A/B).
+    merged = (use_pallas
+              and os.environ.get("MMF_MERGED_BWD", "1") != "0"
+              and (kY == 1 or (kY == 3 and kX == 1 and wplus is None
+                               and _ychunk_G(xs[0].shape[1]) > 0)))
+
     bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
-    if use_pallas:
+    dband_k = dwplus_k = dwminus_k = None
+    if merged:
+        dxs, dss, db_sum, dband_k, dwplus_k, dwminus_k = _dx_pallas(
+            list(xs), list(scales), list(biases), g, bandT, wplusT,
+            wminusT, kY, kX, X, nb, bs, relu,
+            head_block=wm_slots[0], tail_block=wp_slots[0],
+            interpret=_INTERPRET, stats_cot=stats_cot, want_band=True)
+        dscales = [None if s is None else dss[i]
+                   for i, s in enumerate(scales)]
+        dbiases = [None if b is None else db_sum for b in biases]
+    elif use_pallas:
         # transposed conv + the whole input-side epilogue (relu mask,
         # per-input scaling, affine-cotangent reductions) in one kernel.
         # wplusT = wminus^T writes col block wm_slots[0] (its source
@@ -776,8 +796,9 @@ def _fused_bwd_impl(cfg, res, g, stats_cot=None):
     hg = head_m * gm if wplus is not None else None
     tg = tail_m * gm if wplus is not None else None
     dband = None
-    dwplus_k = dwminus_k = None
-    if use_pallas:
+    if merged:
+        dband = dband_k.astype(band.dtype)
+    elif use_pallas:
         # all taps (band + both wrap cotangents) in one accumulating
         # kernel: t recomputed in-VMEM, each slab read once (the XLA
         # loop re-reads the shifted operands per tap — measured 5.3 ms
@@ -1727,11 +1748,15 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
 def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
                head_block: int, tail_block: int,
-               with_gstats: bool = False):
+               with_gstats: bool = False, want_band: bool = False,
+               want_wrap: bool = False):
     # operands: per fwd-input i: 1 center slab; then per i: scale, bias;
     # g: kY slabs; [y_out slab, gs1, gs2 when with_gstats];
     # bandT [, wrapT]; outputs: n_in dx slabs, n_in ds accumulators,
-    # 1 db accumulator.
+    # 1 db accumulator [, band cotangent acc [, wp acc, wm acc] when
+    # want_band — the merged dx+dband backward (kY==1 only): both
+    # kernels read the same x and g slabs, so fusing them deletes a
+    # full (x + g [+ y]) read per conv].
     idx = 0
     x_refs = [refs[idx + i] for i in range(n_in)]
     idx += n_in
@@ -1752,7 +1777,12 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     idx += n_in
     ds_refs = [refs[idx + i] for i in range(n_in)]
     idx += n_in
-    db_ref = refs[idx]
+    db_ref = refs[idx]; idx += 1
+    if want_band:
+        bandc_ref = refs[idx]; idx += 1
+        if want_wrap:
+            wpc_ref = refs[idx]; idx += 1
+            wmc_ref = refs[idx]
 
     y = pl.program_id(1)
     step = pl.program_id(0) * pl.num_programs(1) + y
@@ -1786,8 +1816,14 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         for i in range(n_in):
             ds_refs[i][...] = jnp.zeros_like(ds_refs[i])
         db_ref[...] = jnp.zeros_like(db_ref)
+        if want_band:
+            bandc_ref[...] = jnp.zeros_like(bandc_ref)
+            if want_wrap:
+                wpc_ref[...] = jnp.zeros_like(wpc_ref)
+                wmc_ref[...] = jnp.zeros_like(wmc_ref)
 
     dt = None
+    gm0 = None
     for dy in range(kY):
         gv = g_refs[dy][0, 0]
         if with_gstats:
@@ -1797,6 +1833,8 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             yf = yst_ref[0, 0].astype(jnp.float32)
             gv = (gv.astype(jnp.float32) + gs1_ref[:]
                   + 2.0 * yf * gs2_ref[:]).astype(gv.dtype)
+        if dy == kY // 2:
+            gm0 = gv  # the (folded) center g slab, for the band cots
         if kY > 1:
             yy = y + dy - kY // 2
             vmask = jnp.logical_and(yy >= 0, yy < Y).astype(jnp.float32)
@@ -1823,12 +1861,13 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         dt = part if dt is None else dt + part
 
     # epilogue: relu mask from the recomputed pre-activation
-    if relu:
-        pre = None
+    pre = None
+    if relu or want_band:
         for i in range(n_in):
             s_ref, b_ref = sb_refs[i]
             term = x_refs[i][0, 0] * s_ref[:] + b_ref[:]
             pre = term if pre is None else pre + term
+    if relu:
         # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
         # ("Target does not support this comparison"): compare in fp32.
         dtm = jnp.where(pre.astype(jnp.float32) > 0, dt, 0.0)
@@ -1844,13 +1883,40 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             dtm * x_refs[i][0, 0].astype(jnp.float32), axis=0,
             keepdims=True)
 
+    if want_band:
+        # dband part (the former _dband_kernel, on the already-resident
+        # slabs): dband[tap] = sum_r t[r + shift]^T gm0[r]
+        t = jnp.maximum(pre, 0.0) if relu else pre
+        if want_wrap:
+            hgr = _roll_rows(jnp.where(head_m, gm0, 0.0), RX - 1)
+            tgr = _roll_rows(jnp.where(tail_m, gm0, 0.0), 1)
+        dn = (((0,), (0,)), ((), ()))
+        for dx_ in range(kX):
+            rows = _roll_rows(t, (-(dx_ - kX // 2) * nb) % RX) \
+                if kX == 3 else t
+            if kX == 3 and tap_row_m[dx_] is not None:
+                rows = jnp.where(tap_row_m[dx_], rows, 0.0)
+            bandc_ref[dx_] += jax.lax.dot_general(
+                rows, gm0, dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            if want_wrap:
+                wpc_ref[dx_] += jax.lax.dot_general(
+                    rows, hgr, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                wmc_ref[dx_] += jax.lax.dot_general(
+                    rows, tgr, dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+
 
 def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
                kY: int, kX: int, X: int, nb: int, bs: int, relu: bool,
                head_block: int = 0, tail_block: int = None,
-               interpret: bool = False, stats_cot=None):
+               interpret: bool = False, stats_cot=None,
+               want_band: bool = False):
     """Transposed conv + epilogue: returns ([dx_i...], [ds_i...], db)
-    with dx_i ALREADY scaled by s_i, ds/db as (CC,) fp32 sums.
+    with dx_i ALREADY scaled by s_i, ds/db as (CC,) fp32 sums; with
+    ``want_band`` (kY==1, or kY==3 via the chunked variant) also the
+    band [+ wplus/wminus] cotangents — the merged dx+dband backward.
 
     ``head_block``/``tail_block``: the single column block written by
     wplusT / wminusT (0 and bs-1 for stride-1; the strided cascade's
@@ -1862,6 +1928,7 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     CCg = g.shape[-1]
     dt = xs[0].dtype
     kz = 3 if wplusT is not None else 1
+    want_wrap = want_band and kz == 3
 
     if (kY == 3 and kX == 1 and wplusT is None
             and stats_cot is None):
@@ -1869,7 +1936,9 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
         G = _ychunk_G(Y)
         if G:
             return _dx_pallas_yck(xs, scales, biases, g, bandT, G,
-                                  relu, interpret)
+                                  relu, interpret, want_band=want_band)
+    assert not want_band or kY == 1, (kY, "merged dx+dband needs the "
+                                      "single-g-slab form")
 
     ops = []
     in_specs = []
@@ -1918,7 +1987,8 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     kern = functools.partial(
         _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
-        tail_block=tail_block, with_gstats=stats_cot is not None)
+        tail_block=tail_block, with_gstats=stats_cot is not None,
+        want_band=want_band, want_wrap=want_wrap)
 
     slab_spec = pl.BlockSpec((1, 1, RX, CC), lambda b, y: (b, y, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1928,6 +1998,14 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     out_shapes = ([jax.ShapeDtypeStruct((B, Y, RX, CC), dt)] * n_in
                   + [jax.ShapeDtypeStruct((1, CC), jnp.float32)]
                   * (n_in + 1))
+    if want_band:
+        nt = kY * kX
+        bc_spec = pl.BlockSpec((nt, CC, CCg), lambda b, y: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        bc_shape = jax.ShapeDtypeStruct((nt, CC, CCg), jnp.float32)
+        n_bc = 3 if want_wrap else 1
+        out_specs += [bc_spec] * n_bc
+        out_shapes += [bc_shape] * n_bc
     out = pl.pallas_call(
         kern,
         grid=(B, Y),
@@ -1940,8 +2018,13 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     )(*ops)
     dxs = list(out[:n_in])
     dss = [o.reshape(-1) for o in out[n_in:2 * n_in]]
-    db = out[-1].reshape(-1)
-    return dxs, dss, db
+    db = out[2 * n_in].reshape(-1)
+    if not want_band:
+        return dxs, dss, db
+    bc = out[2 * n_in + 1]
+    if want_wrap:
+        return dxs, dss, db, bc, out[2 * n_in + 2], out[2 * n_in + 3]
+    return dxs, dss, db, bc, None, None
 
 
 # --------------------------------------------------------------------------
@@ -2147,13 +2230,21 @@ def _fused_conv_pallas_yck(xs, scales, biases, band, G: int, X: int,
     )(*ops)
 
 
-def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
-    # operands: per fwd-input i: center x (1,G,RX,CC); per i: scale,
-    # bias; g main (1,G,RX,CCg), g top, g bot; bandT (3, CCg, CC);
-    # outputs: n_in dx (1,G,RX,CC), n_in ds (1,CC), db (1,CC).
+def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype,
+                   want_band: bool = False):
+    # operands: per fwd-input i: center x (1,G,RX,CC) [+ x top, x bot
+    # when want_band]; per i: scale, bias; g main (1,G,RX,CCg), g top,
+    # g bot; bandT (3, CCg, CC); outputs: n_in dx (1,G,RX,CC), n_in ds
+    # (1,CC), db (1,CC) [, (3, CC, CCg) band cotangent acc].
     idx = 0
-    x_refs = [refs[idx + i] for i in range(n_in)]
-    idx += n_in
+    x_refs = []
+    for _ in range(n_in):
+        if want_band:
+            x_refs.append((refs[idx], refs[idx + 1], refs[idx + 2]))
+            idx += 3
+        else:
+            x_refs.append((refs[idx], None, None))
+            idx += 1
     sb_refs = []
     for _ in range(n_in):
         sb_refs.append((refs[idx], refs[idx + 1]))
@@ -2165,7 +2256,9 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
     idx += n_in
     ds_refs = [refs[idx + i] for i in range(n_in)]
     idx += n_in
-    db_ref = refs[idx]
+    db_ref = refs[idx]; idx += 1
+    if want_band:
+        bandc_ref = refs[idx]
 
     c = pl.program_id(1)
     nch = pl.num_programs(1)
@@ -2176,6 +2269,8 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
         for i in range(n_in):
             ds_refs[i][...] = jnp.zeros_like(ds_refs[i])
         db_ref[...] = jnp.zeros_like(db_ref)
+        if want_band:
+            bandc_ref[...] = jnp.zeros_like(bandc_ref)
 
     gs = []
     for g in range(-1, G + 1):
@@ -2186,6 +2281,11 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
         elif g == G:
             gv = gv * (c < nch - 1).astype(gv.dtype)
         gs.append(gv)
+
+    if want_band:
+        # activated rows t[-1..G] for the band cotangent:
+        # dband[dy] = sum_y t[y + dy - 1]^T g[y]
+        ts = _yck_rows(x_refs, sb_refs, n_in, G, c, nch, relu)
 
     for g in range(G):
         dt_l = None
@@ -2199,7 +2299,7 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
             pre = None
             for i in range(n_in):
                 s_ref, b_ref = sb_refs[i]
-                term = x_refs[i][0, g] * s_ref[:] + b_ref[:]
+                term = x_refs[i][0][0, g] * s_ref[:] + b_ref[:]
                 pre = term if pre is None else pre + term
             # Mosaic rejects sub-32-bit vector compares: compare in fp32
             dtm = jnp.where(pre.astype(jnp.float32) > 0, dt_l, 0.0)
@@ -2211,12 +2311,18 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype):
             dx_refs[i][0, g] = (
                 dtm * s_ref[:].astype(jnp.float32)).astype(out_dtype)
             ds_refs[i][...] += jnp.sum(
-                dtm * x_refs[i][0, g].astype(jnp.float32), axis=0,
+                dtm * x_refs[i][0][0, g].astype(jnp.float32), axis=0,
                 keepdims=True)
+        if want_band:
+            dn = (((0,), (0,)), ((), ()))
+            for dy in range(3):
+                bandc_ref[dy] += jax.lax.dot_general(
+                    ts[g + dy], gs[g + 1], dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
 
 
 def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
-                   interpret: bool):
+                   interpret: bool, want_band: bool = False):
     n_in = len(xs)
     B, Y, RX, CC = xs[0].shape
     CCg = g.shape[-1]
@@ -2225,10 +2331,15 @@ def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
     ops = []
     in_specs = []
     for i in range(n_in):
-        ops.append(xs[i])
-        in_specs.append(pl.BlockSpec((1, G, RX, CC),
-                                     lambda b, c: (b, c, 0, 0),
-                                     memory_space=pltpu.VMEM))
+        if want_band:
+            o, s = _yck_x_specs(xs[i], G, Y, RX, CC)
+            ops += o
+            in_specs += s
+        else:
+            ops.append(xs[i])
+            in_specs.append(pl.BlockSpec((1, G, RX, CC),
+                                         lambda b, c: (b, c, 0, 0),
+                                         memory_space=pltpu.VMEM))
     for i in range(n_in):
         s = scales[i]
         b = biases[i]
@@ -2246,7 +2357,7 @@ def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
                                  memory_space=pltpu.VMEM))
 
     kern = functools.partial(_yck_dx_kernel, n_in=n_in, G=G, relu=relu,
-                             out_dtype=dt)
+                             out_dtype=dt, want_band=want_band)
     slab_spec = pl.BlockSpec((1, G, RX, CC), lambda b, c: (b, c, 0, 0),
                              memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((1, CC), lambda b, c: (0, 0),
@@ -2255,6 +2366,12 @@ def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
     out_shapes = ([jax.ShapeDtypeStruct((B, Y, RX, CC), dt)] * n_in
                   + [jax.ShapeDtypeStruct((1, CC), jnp.float32)]
                   * (n_in + 1))
+    if want_band:
+        out_specs.append(pl.BlockSpec((3, CC, CCg),
+                                      lambda b, c: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((3, CC, CCg),
+                                               jnp.float32))
     out = pl.pallas_call(
         kern,
         grid=(B, Y // G),
@@ -2267,8 +2384,10 @@ def _dx_pallas_yck(xs, scales, biases, g, bandT, G: int, relu: bool,
     )(*ops)
     dxs = list(out[:n_in])
     dss = [o.reshape(-1) for o in out[n_in:2 * n_in]]
-    db = out[-1].reshape(-1)
-    return dxs, dss, db
+    db = out[2 * n_in].reshape(-1)
+    if not want_band:
+        return dxs, dss, db
+    return dxs, dss, db, out[2 * n_in + 1], None, None
 
 
 def _yck_dband_kernel(*refs, n_in: int, G: int, relu: bool):

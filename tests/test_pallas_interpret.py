@@ -315,3 +315,43 @@ def test_mask_packed_dyn_matches_compact_mask():
     xm[:, :, :, zt:] = 0
     want = fc.pack(jnp.asarray(xm), bs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+# ---------------------------------------------------------------------------
+# merged dx+dband backward (round 4): MMF_MERGED_BWD=1 vs 0
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kshape,n_in,strided", [
+    ((1, 3, 3), 1, False), ((1, 3, 3), 2, False),
+    ((3, 1, 1), 1, False), ((1, 1, 1), 1, False),
+    ((1, 1, 3), 1, True),
+])
+def test_merged_bwd_matches_split(monkeypatch, kshape, n_in, strided):
+    """The merged kernel (dx + ds + db + weight cotangents in one pass)
+    must match the split dx/dband kernels on every cotangent."""
+    import os
+    xs, scales, biases, w = _mk(4, 4, kshape, jnp.float32,
+                                n_in=n_in, seed=40 + sum(kshape))
+    kw = dict(strided=strided, valid_in=8 if strided else None)
+    monkeypatch.setitem(os.environ, "MMF_MERGED_BWD", "1")
+    y_m, g_m = _grads("pallas", xs, scales, biases, w, **kw)
+    monkeypatch.setitem(os.environ, "MMF_MERGED_BWD", "0")
+    y_s, g_s = _grads("pallas", xs, scales, biases, w, **kw)
+    np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_s),
+                               rtol=1e-6, atol=1e-6)
+    _assert_tree_close(g_m, g_s, rtol=1e-5, atol=1e-5)
+
+
+def test_merged_bwd_with_stats_fold(monkeypatch):
+    """Merged backward under the out_stats cotangent fold (the
+    production train config)."""
+    import os
+    xs, scales, biases, w = _mk(4, 4, (1, 3, 3), jnp.float32, seed=51)
+    monkeypatch.setitem(os.environ, "MMF_MERGED_BWD", "1")
+    aux_m, g_m = _grads_ws("pallas", xs, scales, biases, w)
+    monkeypatch.setitem(os.environ, "MMF_MERGED_BWD", "0")
+    aux_s, g_s = _grads_ws("pallas", xs, scales, biases, w)
+    for a, b in zip(aux_m, aux_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    _assert_tree_close(g_m, g_s, rtol=1e-5, atol=1e-5)

@@ -34,6 +34,10 @@ TRAIN_PHASES = [
     # chunking; this phase isolates its contribution.
     ("train_b4_bf16_noyck", 4, "bf16", False,
      {"MMF_FUSED_STATS": "1", "MMF_YCHUNK": "0"}),
+    # merged dx+dband backward A/B (round 4): default is ON, this
+    # phase isolates its contribution.
+    ("train_b4_bf16_nomerge", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_MERGED_BWD": "0"}),
     ("train_b6_bf16_ws", 6, "bf16", False, {"MMF_FUSED_STATS": "1"}),
     ("train_b8_bf16_remat_ws", 8, "bf16", True,
      {"MMF_FUSED_STATS": "1"}),
