@@ -455,10 +455,13 @@ class ConvX(nn.Module):
         # full-buffer read; the backward folds the stats cotangent
         # into the dx/dband kernel prologues (fused_conv.py r4).
         # MMF_FUSED_STATS=0 keeps the old separate-read path for
-        # on-chip A/Bs.  Under dynamic extents (bucketed eval) the
-        # extent-masked kernels run instead and the batch stats are
-        # never consumed (eval uses the running averages).
-        use_ws = (dyn is None
+        # on-chip A/Bs.  TRAIN-only: in eval the batch stats are never
+        # consumed (_BNFold uses the running averages) — the per-op
+        # XLA reduction is DCE'd for free, whereas a kernel-epilogue
+        # accumulator would still be computed (opaque to XLA) and
+        # would misbehave under the ensemble eval's vmap (the step==0
+        # init logic assumes the unbatched grid).
+        use_ws = (train and dyn is None
                   and _os.environ.get("MMF_FUSED_STATS", "1") != "0")
 
         def conv(inputs, scales, biases, w_shape, name, relu):
@@ -929,7 +932,10 @@ class _FusedReduction(nn.Module):
             x_ds = x
             ds_strides = (1, 1, stride)
 
-        use_ws = (dyn is None
+        # TRAIN-only for the same reasons as the encoder chain: eval
+        # ignores batch stats, and the kernel-epilogue accumulators are
+        # not DCE-able / not ensemble-vmap-safe.
+        use_ws = (train and dyn is None
                   and _os.environ.get("MMF_FUSED_STATS", "1") != "0")
 
         def bn_zero(name):
