@@ -65,17 +65,22 @@ def _fwd_kernel(*refs, n_in: int, bs: int, C: int, wZ: int):
 
 
 def _bwd_kernel(x_ref, o_ref, g_ref, dx_ref, *, bs: int, C: int,
-                wZ: int):
+                wZ: int, wY: int, wX: int):
+    # pooled-resolution grid (round 4): one step reads the (wY, wX)
+    # window of x plus o/g ONCE and writes the whole dx window — the
+    # full-resolution grid re-read o/g wY*wX times (4 -> 2.5 passes).
     o = o_ref[0, 0, 0]
     g = g_ref[0, 0, 0]
     if wZ == 2:
         o = _zpair_expand(o, bs // 2, C)
         g = _zpair_expand(g, bs // 2, C)
-    x = x_ref[0, 0, 0]
-    # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
-    # ("Target does not support this comparison"): compare in fp32.
-    tie = x.astype(jnp.float32) == o.astype(jnp.float32)
-    dx_ref[0, 0, 0] = jnp.where(tie, g, 0.0).astype(x.dtype)
+    for dy in range(wY):
+        for dx in range(wX):
+            x = x_ref[0, dy, dx]
+            # Mosaic (current libtpu) rejects sub-32-bit vector
+            # comparisons: compare in fp32.
+            tie = x.astype(jnp.float32) == o.astype(jnp.float32)
+            dx_ref[0, dy, dx] = jnp.where(tie, g, 0.0).astype(x.dtype)
 
 
 def _specs(nb: int, CC: int, wY: int, wX: int):
@@ -168,18 +173,20 @@ def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
     x5 = xp.reshape(B, Y, X, nb, CC)
     o5 = out.reshape(B, Y // wY, X // wX, nb, CCo)
     g5 = g.astype(xp.dtype).reshape(B, Y // wY, X // wX, nb, CCo)
-    kern = functools.partial(_bwd_kernel, bs=bs, C=C, wZ=wZ)
-    # full-resolution grid: each INPUT block reads its own data plus the
-    # (y//wY, x//wX) pooled/cotangent blocks, writes its dx block once.
-    x_spec = pl.BlockSpec((1, 1, 1, nb, CC),
+    kern = functools.partial(_bwd_kernel, bs=bs, C=C, wZ=wZ,
+                             wY=wY, wX=wX)
+    # pooled-resolution grid: each step reads the (wY, wX) x-window,
+    # o and g once, and writes the whole dx window (trailing block
+    # dims (nb, CC) equal the array dims — Mosaic's rule).
+    x_spec = pl.BlockSpec((1, wY, wX, nb, CC),
                           lambda b, y, x: (b, y, x, 0, 0),
                           memory_space=pltpu.VMEM)
     o_spec = pl.BlockSpec((1, 1, 1, nb, CCo),
-                          lambda b, y, x: (b, y // wY, x // wX, 0, 0),
+                          lambda b, y, x: (b, y, x, 0, 0),
                           memory_space=pltpu.VMEM)
     dx = pl.pallas_call(
         kern,
-        grid=(B, Y, X),
+        grid=(B, Y // wY, X // wX),
         in_specs=[x_spec, o_spec, o_spec],
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x5.shape, xp.dtype),
