@@ -169,3 +169,42 @@ def test_exact_bucketing_fused_eval_path(name, tiny_spec):
         set_fused_stage_mode("auto")
     got = out[:, :, :y, :, :x]
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_exact_bucketing_chain_eval_path(monkeypatch, tiny_spec):
+    """MMF_FUSED_CHAIN=1 under exact bucketing: the whole-block chain
+    kernels (XLA twin on CPU; kernel bodies proven in
+    tests/test_fused_stage.py::test_eval_chain_kernel_dyn_interpret)
+    must reproduce the unbucketed per-op prediction at model level."""
+    import os
+    from multimodal_fusion_fpn_tpu.models.blocks import (
+        set_fused_stage_mode)
+
+    rng = np.random.default_rng(9)
+    y, z, x = 8, 64, 32
+    eh, ew = 80, 32
+    batch = {
+        "image": rng.normal(size=(1, 1, y, z, x)).astype(np.float32),
+        "slo": rng.normal(size=(1, 1, eh, 1, ew)).astype(np.float32)}
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo")
+    model = build_model(cfg, spec=tiny_spec, remat=False)
+
+    set_fused_stage_mode("on")
+    try:
+        vs = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                        train=False)
+        ref = np.asarray(model.apply(vs, batch,
+                                     train=False)["prediction"])
+        monkeypatch.setitem(os.environ, "MMF_FUSED_CHAIN", "1")
+        padded = {
+            "image": _pad_to(batch["image"], {2: 16, 3: 96, 4: 48}),
+            "__valid_image__": jnp.asarray([y, z, x], jnp.int32),
+            "slo": _pad_to(batch["slo"], {2: 96, 4: 48}),
+            "__valid_enface__": jnp.asarray([eh, ew], jnp.int32)}
+        out = np.asarray(model.apply(vs, padded,
+                                     train=False)["prediction"])
+    finally:
+        set_fused_stage_mode("auto")
+    got = out[:, :, :y, :, :x]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
