@@ -97,19 +97,43 @@ R4_OFF_ENV = {"MMF_FUSED_STATS": "0", "MMF_YCHUNK": "0",
 
 
 def _apply_prec_env(prec):
-    if prec.endswith("_r4off"):
-        os.environ.update(R4_OFF_ENV)
+    """Apply a *_r4off config's env knobs; returns a restore thunk.
+
+    Restoration matters for in-process multi-config runs (tests or
+    direct callers without the subprocess wrapper): leaking the r4off
+    flags would trace every LATER config with the round-4 kernels
+    silently disabled while labeling it as the default path.
+    """
+    if not prec.endswith("_r4off"):
+        return lambda: None
+    saved = {k: os.environ.get(k) for k in R4_OFF_ENV}
+    os.environ.update(R4_OFF_ENV)
+
+    def _restore():
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return _restore
 
 
 def _run_config(B, prec, remat):
     """Build + compile + time one (batch, precision, remat) config.
 
     ``prec``: "bf16" / "fp32", optionally suffixed "_r4off" (disable
-    the round-4 kernel features via env — must run in a fresh child
-    process, the env is read at trace time).  Returns img/s and
+    the round-4 kernel features via env, read at trace time; the
+    flags are restored before returning).  Returns img/s and
     ms/step; raises on compile/run failure.
     """
-    _apply_prec_env(prec)
+    restore_env = _apply_prec_env(prec)
+    try:
+        return _run_config_impl(B, prec, remat)
+    finally:
+        restore_env()
+
+
+def _run_config_impl(B, prec, remat):
     import jax
     import jax.numpy as jnp
     from multimodal_fusion_fpn_tpu.config import make_config

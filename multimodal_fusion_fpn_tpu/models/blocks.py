@@ -171,9 +171,11 @@ def _fused_active() -> bool:
 # TRUE extents (dynamic scalars) through the model; every conv/BN output
 # is re-zeroed beyond the true extents so the SAME-conv boundary reads
 # zeros exactly like the unbucketed run.  The context is None outside
-# exact-bucketed eval — all hooks are no-ops then.  Requires the per-op
-# lowering (the fused kernels fold the BN affine in-kernel, where the
-# re-zeroing can't be applied); the eval harness forces it.
+# exact-bucketed eval — all hooks are no-ops then.  The fused kernels
+# stay live under bucketing: they take the dynamic true extents via
+# SMEM and re-zero their affine prologue beyond them (fused_conv_dyn;
+# see stage_dyn_extents below), falling back to the per-op lowering
+# only under a space mesh.
 
 _VALID_CTX = []  # stack of dicts {axis_name: dynamic extent or None}
 
@@ -522,8 +524,14 @@ class ConvX(nn.Module):
         # the intermediate VMEM-resident — possible because the eval
         # affines come from RUNNING stats.  Opt-in until the Mosaic
         # compile is verified on chip (tools/onchip_r4.py).
+        def _no_space_mesh():
+            from multimodal_fusion_fpn_tpu.ops.pallas import \
+                fused_conv as fc
+            return fc._SPACE is None
+
         pair_ok = (not train
-                   and _os.environ.get("MMF_FUSED_PAIR", "0") == "1")
+                   and _os.environ.get("MMF_FUSED_PAIR", "0") == "1"
+                   and _no_space_mesh())
 
         # Eval-only whole-block chain kernel (MMF_FUSED_CHAIN=1,
         # supersedes the 2-conv pair): ALL convs of the block plus the
@@ -531,8 +539,12 @@ class ConvX(nn.Module):
         # intermediate stays in VMEM; the trailing (3,1,1) conv rides
         # the Y-chunk halo structure.  Opt-in until the Mosaic compile
         # is verified on chip (tools/onchip_r4.py).
+        # Both eval mega-kernels fall back to the per-conv fused path
+        # under a space mesh (which those kernels fully support) instead
+        # of tripping the asserts in fused_conv2_eval/fused_chain_eval.
         chain_ok = (not train
-                    and _os.environ.get("MMF_FUSED_CHAIN", "0") == "1")
+                    and _os.environ.get("MMF_FUSED_CHAIN", "0") == "1"
+                    and _no_space_mesh())
         if chain_ok and n - (1 if narrow else 0) >= 2:
             from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv \
                 import fused_chain_eval

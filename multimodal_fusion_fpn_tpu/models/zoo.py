@@ -176,11 +176,13 @@ class FPN2D(nn.Module):
                                  name="resensnet")(enface, train)
         seg = seg_from_device(seg)
         seg = nn.sigmoid(seg)
-        if ctx.get("h") is not None:
+        if ctx.get("h") is not None and "mask" in batch:
             # Exact bucketing: resize from the TRUE extents inside the
             # padded buffer to the (unpadded) mask resolution.  When the
             # true extents already equal the target the dynamic map is
             # the identity — matching the reference's skip-if-equal.
+            # Mask-less batches skip the resize (as below) and return
+            # the padded buffer; the harness crops it to true extents.
             from multimodal_fusion_fpn_tpu.ops.dynamic_extent import \
                 linear_resize_dynamic
             tgt = batch["mask"].shape[2:]

@@ -1335,8 +1335,7 @@ def fused_chain_eval(x, s_in, b_in, relu0, convs, final, ds, X: int,
 
     halo = 1 if 3 in kYs else 0
     G = _ychunk_G(Y) or 1
-    if not halo and Y % G:
-        G = 1
+    assert Y % G == 0, (Y, G)  # _ychunk_G only returns divisors of Y
 
     ops = [x]
     in_specs = [pl.BlockSpec((1, G, RX, CC), lambda b, c: (b, c, 0, 0),

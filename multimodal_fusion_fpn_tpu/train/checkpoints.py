@@ -74,6 +74,17 @@ class TopKCheckpointer:
             except (IndexError, ValueError):
                 continue
             self.saved.append((value, path))
+        # A crash between update()'s save and its prune can leave k+1
+        # files on disk; carrying the oversized ledger forward would
+        # permanently retain the extra (update() only replaces in
+        # place once the ledger is full).  Prune back to top-k here.
+        if len(self.saved) > self.save_top_k:
+            self.saved.sort(key=lambda t: t[0],
+                            reverse=(self.mode == "max"))
+            for _value, path in self.saved[self.save_top_k:]:
+                if os.path.exists(path):
+                    os.remove(path)
+            self.saved = self.saved[:self.save_top_k]
         return len(self.saved)
 
     def update(self, epoch: int, value: float,

@@ -7,6 +7,7 @@ image-strip PNGs with the mask border overlaid.
 """
 
 import json
+import os
 import time
 from os.path import join
 from typing import Dict, List
@@ -75,7 +76,9 @@ class CurvePlotter:
         try:
             with open(path) as f:
                 saved = json.load(f)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError):
+            # Missing or truncated (crash mid-save before the atomic
+            # rename existed) history must not abort an exact resume.
             return
         for k, v in saved.items():
             self.curves[k] = list(v)[:upto] if upto is not None else list(v)
@@ -101,8 +104,13 @@ class CurvePlotter:
             axs[i, 0].grid(axis="y")
         fig.savefig(join(self.model_path, "curves.svg"),
                     bbox_inches="tight")
-        with open(join(self.model_path, "curves.json"), "w") as f:
+        # Atomic write: a kill during the dump must not leave a
+        # truncated curves.json for --resume to choke on.
+        path = join(self.model_path, "curves.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(self.curves, f)
+        os.replace(tmp, path)
         plt.close(fig)
 
 

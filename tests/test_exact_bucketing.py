@@ -63,6 +63,29 @@ def test_exact_bucketing_matches_unpadded(name, crop, tiny_spec):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_fpn2d_bucketing_maskless_batch(tiny_spec):
+    """Mask-less eval batches (the harness supports them) must not
+    crash FPN2D under bucketing: the model skips its mask-resolution
+    resize — as the unbucketed path always did — and returns the
+    padded prediction, exact on the valid region (the harness crops)."""
+    rng = np.random.default_rng(7)
+    eh, ew = 80, 32
+    batch = {"slo": rng.normal(size=(1, 1, eh, 1, ew)).astype(np.float32)}
+    cfg = make_config(model="FPN2D", crop="relative_2d_max",
+                      fusion_modality="slo")
+    model = build_model(cfg, spec=tiny_spec, remat=False)
+    vs = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                    train=False)
+    ref = np.asarray(model.apply(vs, batch, train=False)["prediction"])
+
+    padded = dict(batch)
+    padded["slo"] = _pad_to(batch["slo"], {2: 96, 4: 48})
+    padded["__valid_enface__"] = jnp.asarray([eh, ew], jnp.int32)
+    out = np.asarray(model.apply(vs, padded, train=False)["prediction"])
+    got = out[:, :, :ref.shape[2], :, :ref.shape[4]]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+
 def test_harness_bucketing_exact_end_to_end(tmp_path, tiny_spec):
     """Through the REAL eval harness: run_evaluation_instance with
     shape_bucket=64 (inputs padded by the harness's own _bucket_pad

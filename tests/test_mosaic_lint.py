@@ -96,6 +96,51 @@ def test_static_compares_not_flagged(tmp_path):
     assert findings == []
 
 
+def test_kernel2_suffix_scanned(tmp_path):
+    """Suffix-only name matching skipped `_kernel2` (the MMF_FUSED_PAIR
+    mega-kernel) — any name containing 'kernel' must be scanned."""
+    findings = _lint_src(tmp_path, """
+        def _kernel2(x_ref, out_ref):
+            v = x_ref[0, 0]
+            m = v > 0
+            out_ref[0, 0] = m
+    """)
+    assert len(findings) == 1 and "comparison on data-tainted" in findings[0]
+
+
+def test_helper_called_from_kernel_scanned(tmp_path):
+    """Taint must propagate through call arguments into module-level
+    helpers that run inside the kernel body (e.g. `_conv_taps`)."""
+    findings = _lint_src(tmp_path, """
+        def _taps(t, kX):
+            if kX == 3:
+                m = t > 0
+                return m
+            return t
+
+        def _kernel(x_ref, out_ref):
+            v = x_ref[0, 0]
+            out_ref[0, 0] = _taps(v, 3)
+    """)
+    assert len(findings) == 1 and "'_taps'" in findings[0]
+
+
+def test_helper_static_args_not_flagged(tmp_path):
+    """Untainted (python config) arguments must NOT taint helper
+    params — `kX == 3` style config compares stay legal."""
+    findings = _lint_src(tmp_path, """
+        def _taps(t, kX):
+            if kX == 3:
+                return t * 2
+            return t
+
+        def _kernel(x_ref, out_ref, *, kX):
+            v = x_ref[0, 0]
+            out_ref[0, 0] = _taps(v.shape[0], kX)
+    """)
+    assert findings == []
+
+
 def test_catches_16bit_roll(tmp_path):
     findings = _lint_src(tmp_path, """
         from jax.experimental.pallas import tpu as pltpu

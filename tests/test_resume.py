@@ -140,3 +140,26 @@ def test_topk_restore_rebuilds_ledger(tmp_path):
     ck2.update(3, 0.9, {"params": {"w": np.zeros(1)}})
     assert len(ck2.saved) == 2
     assert max(v for v, _ in ck2.saved) == 0.9
+
+
+def test_topk_restore_prunes_crash_leftover(tmp_path):
+    """A crash between update()'s save and its prune leaves k+1 files;
+    restore() must prune back to top-k (keeping the best) instead of
+    carrying an oversized ledger forever."""
+    from multimodal_fusion_fpn_tpu.train.checkpoints import (
+        TopKCheckpointer, save_checkpoint)
+    import os
+    from os.path import join
+    d = str(tmp_path / "ck")
+    ck = TopKCheckpointer(d, monitor="Dice", mode="max", save_top_k=2)
+    for epoch, v in [(0, 0.5), (1, 0.7)]:
+        ck.update(epoch, v, {"params": {"w": np.zeros(1)}})
+    # simulate the crash window: a third (better) file exists on disk
+    # but the worst was never removed
+    save_checkpoint(join(d, "epoch=2-Dice=0.9000.ckpt"),
+                    {"params": {"w": np.zeros(1)}})
+    ck2 = TopKCheckpointer(d, monitor="Dice", mode="max", save_top_k=2)
+    assert ck2.restore() == 2
+    assert sorted(v for v, _ in ck2.saved) == [0.7, 0.9]
+    files = sorted(os.listdir(d))
+    assert len(files) == 2 and "epoch=0-Dice=0.5000.ckpt" not in files

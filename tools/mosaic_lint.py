@@ -48,8 +48,13 @@ ROLL_OK = "mosaic-roll-ok"
 
 
 def _is_kernel_fn(node):
+    # "kernel" anywhere in the name (covers `_kernel`, `_kernel2`,
+    # `_yck_dx_kernel`, ...) — suffix-only matching silently skipped
+    # the pair mega-kernel `_kernel2`.
     return isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
-        and node.name.endswith("kernel")
+        and "kernel" in node.name
+
+
 
 
 # Attribute reads that yield static (python-level) values, and calls
@@ -125,6 +130,66 @@ def _has_cast(text):
     return any(m in text for m in F32_CAST_MARKERS)
 
 
+def _param_names(fn):
+    a = fn.args
+    return [p.arg for p in (a.posonlyargs + a.args + a.kwonlyargs)]
+
+
+def _check_fn(fn, seed_taint, src, src_lines, path, findings, defs,
+              param_taint, worklist):
+    """Lint one function body with `seed_taint` names pre-tainted
+    (tainted caller arguments).  Calls to other module-level functions
+    propagate per-argument taint interprocedurally: helpers like
+    `_conv_taps` run inside the Mosaic-lowered body and are subject to
+    the same rules, with taint entering through their parameters."""
+    taint = _Taint(src_lines)
+    taint.tainted |= seed_taint
+    # two passes so taint through later-defined names settles
+    taint.visit(fn)
+    taint.visit(fn)
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Call) and \
+                isinstance(node.func, ast.Name) and node.func.id in defs:
+            callee = defs[node.func.id]
+            params = _param_names(callee)
+            new = set()
+            for i, arg in enumerate(node.args):
+                if i < len(params) and taint._expr_tainted(arg):
+                    new.add(params[i])
+            for kw in node.keywords:
+                if kw.arg in params and taint._expr_tainted(kw.value):
+                    new.add(kw.arg)
+            first_visit = callee.name not in param_taint
+            have = param_taint.setdefault(callee.name, set())
+            if first_visit or not new <= have:
+                have |= new
+                worklist.append((callee, frozenset(have)))
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Compare):
+            # `is` / `is not` are trace-time Python identity checks
+            # (e.g. `acc is None`), never lowered vector compares.
+            if all(isinstance(o, (ast.Is, ast.IsNot))
+                   for o in node.ops):
+                continue
+            line = _line(src_lines, node)
+            if CMP_OK in line:
+                continue
+            operands = [node.left] + list(node.comparators)
+            bad = []
+            for op in operands:
+                if taint._expr_tainted(op) and not _has_cast(
+                        _segment(src, op)):
+                    bad.append(op)
+            if bad:
+                findings.append(
+                    f"{path}:{node.lineno}: comparison on "
+                    f"data-tainted operand inside kernel "
+                    f"'{fn.name}' without an explicit >=32-bit "
+                    f"cast — Mosaic rejects sub-32-bit vector "
+                    f"compares. Cast with .astype(jnp.float32) or "
+                    f"annotate '# {CMP_OK}'. | {line.strip()}")
+
+
 def lint_file(path):
     with open(path) as f:
         src = f.read()
@@ -132,36 +197,19 @@ def lint_file(path):
     tree = ast.parse(src, path)
     findings = []
 
-    kernel_fns = [n for n in ast.walk(tree) if _is_kernel_fn(n)]
-    for fn in kernel_fns:
-        taint = _Taint(src_lines)
-        # two passes so taint through later-defined names settles
-        taint.visit(fn)
-        taint.visit(fn)
-        for node in ast.walk(fn):
-            if isinstance(node, ast.Compare):
-                # `is` / `is not` are trace-time Python identity checks
-                # (e.g. `acc is None`), never lowered vector compares.
-                if all(isinstance(o, (ast.Is, ast.IsNot))
-                       for o in node.ops):
-                    continue
-                line = _line(src_lines, node)
-                if CMP_OK in line:
-                    continue
-                operands = [node.left] + list(node.comparators)
-                bad = []
-                for op in operands:
-                    if taint._expr_tainted(op) and not _has_cast(
-                            _segment(src, op)):
-                        bad.append(op)
-                if bad:
-                    findings.append(
-                        f"{path}:{node.lineno}: comparison on "
-                        f"data-tainted operand inside kernel "
-                        f"'{fn.name}' without an explicit >=32-bit "
-                        f"cast — Mosaic rejects sub-32-bit vector "
-                        f"compares. Cast with .astype(jnp.float32) or "
-                        f"annotate '# {CMP_OK}'. | {line.strip()}")
+    defs = {n.name: n for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))}
+    param_taint = {}
+    worklist = [(fn, frozenset()) for fn in defs.values()
+                if _is_kernel_fn(fn)]
+    for fn in [f for f, _ in worklist]:
+        param_taint[fn.name] = set()
+    while worklist:
+        fn, seed = worklist.pop()
+        _check_fn(fn, set(seed), src, src_lines, path, findings, defs,
+                  param_taint, worklist)
+    findings = sorted(set(findings))
+
     # roll check: everywhere in the file (rolls only lower inside
     # kernels, but helpers like _roll_rows are defined at module level)
     for node in ast.walk(tree):
