@@ -128,3 +128,42 @@ def test_monitor_falls_back_to_val_results(tmp_path, tiny_spec):
     tr.fit(state=FakeState(), train_loader=FakeLoader([]),
            val_loader=FakeLoader([]))
     assert recorded == [0.5]
+
+
+def test_metrics_drained_once_per_epoch(tmp_path, tiny_spec):
+    """Per-step metric arrays are accumulated as device references and
+    fetched in ONE extend_values call per metric at epoch end (per-step
+    fetches would synchronize the host with every step — ~27 ms tunnel
+    latency each on axon)."""
+    from multimodal_fusion_fpn_tpu.metrics.streaming import Metrics
+
+    tr = _tiny_trainer(tmp_path, tiny_spec)
+
+    calls = []
+
+    class Recorder(Metrics):
+        def extend_values(self, values):
+            calls.append(np.atleast_1d(np.asarray(values)))
+            super().extend_values(values)
+
+    tr.metrics_train = {"Dice": Recorder()}
+
+    import jax.numpy as jnp
+    vals = iter([jnp.asarray([0.1, 0.2]), jnp.asarray([0.3, 0.4]),
+                 jnp.asarray([0.5, 0.6])])
+
+    def step(state, payload, rng):
+        return state, {"loss": 0.0, "parts": {},
+                       "metrics": {"Dice": next(vals)}}
+
+    tr.train_step = step
+    tr._tail_steps = {1: step}
+
+    loader = FakeLoader([_batch(i) for i in range(3)])
+    tr._train_epoch(state=object(), loader=loader, epoch=0)
+
+    assert len(calls) == 1, f"expected one drain, got {len(calls)}"
+    np.testing.assert_allclose(
+        calls[0], [0.1, 0.2, 0.3, 0.4, 0.5, 0.6], rtol=1e-6)
+    np.testing.assert_allclose(
+        tr.metrics_train["Dice"].get(), 0.35, rtol=1e-6)
