@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--seg", default=None, help="only segments containing")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", default="fp32", choices=["fp32", "bf16"])
+    ap.add_argument("--json", default=None,
+                    help="also dump {segment: ms} to this path")
     args = ap.parse_args()
     n = 4 if args.fast else 10
 
@@ -253,6 +255,15 @@ def main():
               "full_train_step"):
         if k in results:
             print(f"{k}: {results[k]:.1f}")
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({"dtype": args.dtype, "batch": B,
+                       "segments_ms": {k: round(v, 2)
+                                       for k, v in results.items()}},
+                      f, indent=1)
+        print(f"# wrote {args.json}")
 
 
 if __name__ == "__main__":

@@ -7,7 +7,8 @@
 #   3. the full round-4 A/B batch (onchip_r4.py, idempotent)
 #   4. one final bench pass (picks up any cache-warmed best config)
 # Results: /tmp/onchip_r4.jsonl, /tmp/kernel_triage.log,
-#          /tmp/bench_watch.json, /tmp/bench_watch_final.json
+#          /tmp/bench_watch.json, /tmp/segment_split_r4.json,
+#          /tmp/bench_watch_final.json
 # Progress sentinel: /tmp/tunnel_watch.log (one line per stage).
 cd /root/repo
 for i in $(seq 1 200); do
@@ -21,6 +22,9 @@ for i in $(seq 1 200); do
     echo "$(date +%s) stage bench done rc=$?" >> /tmp/tunnel_watch.log
     timeout 14000 python tools/onchip_r4.py >> /tmp/tunnel_watch.log 2>&1
     echo "$(date +%s) stage onchip_r4 done rc=$?" >> /tmp/tunnel_watch.log
+    timeout 5400 python tools/profile_step.py --fast --dtype bf16 \
+        --json /tmp/segment_split_r4.json > /tmp/segment_split_r4.log 2>&1
+    echo "$(date +%s) stage segment_split done rc=$?" >> /tmp/tunnel_watch.log
     BENCH_DEADLINE_S=1800 timeout 2000 python bench.py --sweep \
         > /tmp/bench_watch_final.json 2>> /tmp/tunnel_watch.log
     echo "$(date +%s) measurement batch done" >> /tmp/tunnel_watch.log
