@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Summarize the round-4 on-chip measurement batch.
+
+Reads the watcher outputs (/tmp/onchip_r4.jsonl, /tmp/bench_watch*.json,
+/tmp/segment_split_r4.json, /tmp/kernel_triage.log) and prints:
+
+  * the train A/B table (fused-stats / y-chunk / merged-backward
+    contributions, batch sweep) with deltas vs the default config;
+  * flag recommendations: any feature whose "off" phase is FASTER than
+    the default gets a "flip the default" warning;
+  * the eval phases (ensemble+HD, bucketed-dyn, pair/chain kernels);
+  * the segment split with the round-3 reference numbers alongside.
+
+Pure host-side file parsing — safe to run any time.
+"""
+
+import json
+import os
+import sys
+
+R3_SEGMENTS = {  # PERF.md round-3 split at 191 ms (bf16 B=4)
+    "enc3d_s1_fwdbwd": 50.7, "enc3d_s2_fwdbwd": 26.6,
+    "enc3d_s3_fwdbwd": 14.7, "enc3d_s4_fwdbwd": 5.6,
+    "enc3d_s5_fwdbwd": 4.8, "projections": 54.3,
+    "enc2d": 6.6, "decoder": 4.9,
+}
+
+
+def load_jsonl(path):
+    recs = []
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    recs.append(json.loads(line))
+                except ValueError:
+                    pass
+    return recs
+
+
+def main():
+    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/onchip_r4.jsonl"
+    recs = {r["phase"]: r for r in load_jsonl(log)}
+    if not recs:
+        print(f"no results in {log} yet")
+    base = recs.get("train_b4_bf16_ws")
+
+    print("== train A/B (bf16 B=4 full step) ==")
+    flips = []
+    for phase, label, flag in [
+            ("train_b4_bf16_ws", "default (stats+yck+merge)", None),
+            ("train_b4_bf16_nows", "MMF_FUSED_STATS=0", "MMF_FUSED_STATS"),
+            ("train_b4_bf16_noyck", "MMF_YCHUNK=0", "MMF_YCHUNK"),
+            ("train_b4_bf16_nomerge", "MMF_MERGED_BWD=0",
+             "MMF_MERGED_BWD")]:
+        r = recs.get(phase)
+        if not r:
+            print(f"  {label:32s} (pending)")
+            continue
+        d = ""
+        if base and flag:
+            delta = r["ms_per_step"] - base["ms_per_step"]
+            d = f"  off-is{'-FASTER' if delta < 0 else '-slower'} " \
+                f"by {abs(delta):.1f} ms"
+            if delta < -1.0:
+                flips.append((flag, delta))
+        print(f"  {label:32s} {r['ms_per_step']:7.1f} ms "
+              f"{r['img_per_s']:6.2f} img/s{d}")
+
+    print("== batch sweep ==")
+    for phase in ("train_b6_bf16_ws", "train_b8_bf16_remat_ws"):
+        r = recs.get(phase)
+        print(f"  {phase:32s} " + (f"{r['ms_per_step']:7.1f} ms "
+                                   f"{r['img_per_s']:6.2f} img/s"
+                                   if r else "(pending)"))
+
+    print("== eval phases ==")
+    for phase in ("eval_ensemble5_hd", "eval_ensemble5_hd_pair",
+                  "eval_ensemble5_hd_chain", "eval_bucketed_dyn",
+                  "eval_bucketed_dyn_chain"):
+        r = recs.get(phase)
+        print(f"  {phase:32s} " + (f"{r['ms_per_image']:7.1f} ms/img "
+                                   f"{r['img_per_s']:6.2f} img/s"
+                                   if r else "(pending)"))
+
+    for tag, path in [("bench (first pass)", "/tmp/bench_watch.json"),
+                      ("bench (final)", "/tmp/bench_watch_final.json")]:
+        if os.path.exists(path):
+            try:
+                with open(path) as f:
+                    d = json.loads(f.read().strip().splitlines()[-1])
+                print(f"== {tag} ==\n  {json.dumps(d)[:240]}")
+            except (ValueError, IndexError):
+                print(f"== {tag} == unparseable")
+
+    seg_path = "/tmp/segment_split_r4.json"
+    if os.path.exists(seg_path):
+        with open(seg_path) as f:
+            seg = json.load(f)
+        print("== segment split (vs round-3) ==")
+        segs = seg.get("segments_ms", {})
+        proj = sum(v for k, v in segs.items()
+                   if k.startswith("proj") and k.endswith("fwdbwd"))
+        for k, v in sorted(segs.items()):
+            r3 = R3_SEGMENTS.get(k)
+            ref = f"  (r3: {r3:.1f})" if r3 else ""
+            print(f"  {k:36s} {v:7.1f} ms{ref}")
+        if proj:
+            print(f"  {'projections total':36s} {proj:7.1f} ms "
+                  f"(r3: 54.3; VERDICT target <=35)")
+
+    triage = "/tmp/kernel_triage.log"
+    if os.path.exists(triage):
+        with open(triage) as f:
+            txt = f.read()
+        bad = [ln for ln in txt.splitlines()
+               if "FAIL" in ln or "Error" in ln or "error" in ln]
+        print(f"== kernel triage == {'CLEAN' if not bad else 'ISSUES:'}")
+        for ln in bad[:10]:
+            print("  " + ln[:160])
+
+    if flips:
+        print("\n!! DEFAULT FLIPS RECOMMENDED:")
+        for flag, delta in flips:
+            print(f"  {flag}: off is {abs(delta):.1f} ms faster -> "
+                  f"flip the default and re-run bench")
+
+
+if __name__ == "__main__":
+    main()
