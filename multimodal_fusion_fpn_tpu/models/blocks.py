@@ -244,13 +244,21 @@ def fused_stage_bs(z: int, features: int, use_bn: bool, dropout: float,
     must predict whether a stage's output is packed and at which bs).
 
     ``dynamic_ok``: an exact-bucketing context does not force the
-    per-op path (the caller runs the extent-masked eval kernels)."""
+    per-op path (the caller runs the extent-masked eval kernels).
+
+    ``ndim == 2`` (the en-face encoder) rides the SAME 3D kernels with a
+    singleton X and z = W: a 2D kernel (kh, kw) is computed as
+    (kh, 1, kw) — (1,3) is a z-banded conv, (3,1) a y-chunk conv —
+    while the PARAMETER keeps its 2D shape (checkpoint/torch-import
+    parity).  Callers pass z = W."""
     if not _fused_active():
         return None
     if current_valid() and not dynamic_ok:
         return None
-    if ndim != 3 or features > 64:
+    if ndim not in (2, 3) or features > 64:
         return None
+    if ndim == 2 and _os.environ.get("MMF_FUSED_2D", "1") == "0":
+        return None  # on-chip A/B escape hatch (tools/onchip_r4.py)
     if not use_bn or dropout > 0.0:
         return None
     # Prefer bs*C = 128 (one MXU tile): band-dot FLOPs scale LINEARLY
@@ -447,10 +455,22 @@ class ConvX(nn.Module):
             ci0 = x.shape[-1]
             narrow = ci0 < 8
             x = x.astype(dt)
+            if nsp == 2:
+                # en-face block as a singleton-X 3D block (z = W); the
+                # PARAM shapes stay 2D — see fused_stage_bs
+                x = x[:, :, None]
             if narrow and self.residual and not self.downsample:
                 narrow = False  # identity residual needs the packed input
             xp = None if narrow else pack(x, bs)
         B, Y = x.shape[0], x.shape[1]
+
+        def w3(w, w_shape):
+            """Reshape a 2D conv param (kh, kw, ci, co) to its compute
+            shape (kh, 1, kw, ci, co); identity for 3D params."""
+            if nsp == 2:
+                return w.reshape((w_shape[0], 1, w_shape[1])
+                                 + tuple(w_shape[2:]))
+            return w
 
         # out_stats: the kernel's epilogue returns the raw output's
         # per-lane (sum, sum^2), saving the separate interior_stats
@@ -467,7 +487,7 @@ class ConvX(nn.Module):
                   and _os.environ.get("MMF_FUSED_STATS", "1") != "0")
 
         def conv(inputs, scales, biases, w_shape, name, relu):
-            w = _ConvKernel(w_shape, name=name)()
+            w = w3(_ConvKernel(w_shape, name=name)(), w_shape)
             if dyn is not None:
                 return fused_conv_dyn(inputs, scales, biases,
                                       w.astype(dt), X, nb, bs, dyn,
@@ -483,9 +503,9 @@ class ConvX(nn.Module):
             # packed thick layout (banded's dot output is already
             # (..., nb, bs*co); the compact round trip cost two 260 MB
             # layout copies per conv in the step HLO).
-            w = _ConvKernel(w_shape, name=name)()
-            k = w_shape[:nsp]
-            return banded_conv(x, w.astype(dt), (1,) * nsp,
+            w = w3(_ConvKernel(w_shape, name=name)(), w_shape)
+            k = w.shape[:3]
+            return banded_conv(x, w.astype(dt), (1,) * 3,
                                tuple(kk // 2 for kk in k), block=bs,
                                preferred_element_type=dt,
                                packed_out=True)
@@ -529,7 +549,7 @@ class ConvX(nn.Module):
                 fused_conv as fc
             return fc._SPACE is None
 
-        pair_ok = (not train
+        pair_ok = (not train and nsp == 3
                    and _os.environ.get("MMF_FUSED_PAIR", "0") == "1"
                    and _no_space_mesh())
 
@@ -542,7 +562,7 @@ class ConvX(nn.Module):
         # Both eval mega-kernels fall back to the per-conv fused path
         # under a space mesh (which those kernels fully support) instead
         # of tripping the asserts in fused_conv2_eval/fused_chain_eval.
-        chain_ok = (not train
+        chain_ok = (not train and nsp == 3
                     and _os.environ.get("MMF_FUSED_CHAIN", "0") == "1"
                     and _no_space_mesh())
         if chain_ok and n - (1 if narrow else 0) >= 2:
@@ -792,15 +812,24 @@ class EncoderStage(nn.Module):
         if self.packed_in is not None:
             X, nb, bs_in = self.packed_in
             z = nb * bs_in
-        elif x.ndim == 5:
+        elif x.ndim == 5 and self.ndim == 3:
             X, z = x.shape[2], x.shape[3]
+        elif x.ndim == 4 and self.ndim == 2:
+            # en-face stage as a singleton-X 3D stage: z = W
+            X, z = 1, x.shape[2]
         else:
             return None, None
         from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
             active_space_shards)
         if X % active_space_shards() != 0:
             return None, None
-        dyn = stage_dyn_extents(train)
+        if self.ndim == 2:
+            # exact bucketing keeps the (proven) per-op path in 2D
+            if current_valid():
+                return None, None
+            dyn = None
+        else:
+            dyn = stage_dyn_extents(train)
         bs = fused_stage_bs(z, self.features, self.use_bn,
                             self.dropout, self.ndim,
                             dynamic_ok=dyn is not None)
@@ -842,6 +871,11 @@ class EncoderStage(nn.Module):
                     xin, nb = x, nb_in
                 xp = block0(xin, train,
                             packed_meta=(X, nb, bs, True, dyn))
+            elif self.ndim == 2:
+                # singleton-X mapping: rows = nb = W/bs (fused_stage_bs)
+                X, nb = 1, x.shape[2] // bs
+                xp = block0(x, train,
+                            packed_meta=(X, nb, bs, False, dyn))
             else:
                 B, Y, X, Z, _ = x.shape
                 nb = Z // bs
@@ -850,12 +884,19 @@ class EncoderStage(nn.Module):
             xp = block1(xp, train, packed_meta=(X, nb, bs, True, dyn))
             if self.keep_packed:
                 return xp
-            return unpack(xp, X, nb, bs)
+            out = unpack(xp, X, nb, bs)
+            if self.ndim == 2:
+                out = out.reshape(out.shape[0], out.shape[1],
+                                  out.shape[3], out.shape[4])
+            return out
         if self.packed_in is not None:
             from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
                 unpack)
             X, nb_in, bs_in = self.packed_in
             x = unpack(x, X, nb_in, bs_in)
+            if self.ndim == 2:
+                x = x.reshape(x.shape[0], x.shape[1], x.shape[3],
+                              x.shape[4])
         x = block0(x, train)
         x = block1(x, train)
         return x

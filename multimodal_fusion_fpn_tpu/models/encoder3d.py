@@ -116,6 +116,85 @@ def as_compact(value, meta: Meta):
     return unpack(value, *meta)
 
 
+def as_compact_2d(value, meta: Meta):
+    """(value, meta) -> compact (B, H, W, C) array (free reshapes —
+    the 2D packed layout is the singleton-X 3D one with z = W)."""
+    if meta is None:
+        return value
+    v = as_compact(value, meta)          # (B, H, 1, W, C)
+    return v.reshape(v.shape[0], v.shape[1], v.shape[3], v.shape[4])
+
+
+def run_2d_encoder(Stage, channels, dropout, use_bn: bool, dtype,
+                   x, train: bool, pools, n_levels: int,
+                   name_fmt: str = "conv{}_2d"):
+    """2D twin of :func:`run_3d_encoder` on the singleton-X mapping
+    (X = 1, z = W, see blocks.fused_stage_bs): stage outputs stay in
+    the packed thick layout between stages and the inter-stage (2, 2)
+    pools run packed as (wY=2, wX=1, wZ=2) — H pools on rows, W pools
+    as z-slot pairs.  Exact bucketing and space meshes keep the proven
+    per-op path (mirrors EncoderStage._fused_eligible).
+
+    Returns (convs, exts): per-level PRE-POOL (value, meta) pairs —
+    meta (1, nb, bs) when packed, None when compact (B, H, W, C) —
+    plus per-level true-extent dicts.  Reference 2D encoder:
+    ``fusion3D2D.py:261-293`` / ``unets2D.py:32-116``."""
+    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+        active_space_shards)
+    from multimodal_fusion_fpn_tpu.ops.pallas.pool import pool_packed
+
+    convs: List[Tuple[Any, Meta]] = []
+    exts = []
+    ext = current_valid()
+    ext2d = ({k: v for k, v in ext.items() if k in ("h", "w")}
+             if ext else None) or None
+    cur, meta = x, None
+    in_ch = x.shape[-1]
+    for lvl in range(n_levels):
+        exts.append(ext2d)
+        if meta is not None:
+            _, nb_in, bs_in = meta
+            z = nb_in * bs_in
+        else:
+            z = cur.shape[2]
+        # exact bucketing keeps the per-op path in 2D (EncoderStage's
+        # own rule); a space mesh disables the fused 2D stages (X=1
+        # cannot shard) — mirror both gates here so meta stays in sync
+        # with the stage's packed/compact decision.
+        bs_lvl = None
+        if not ext2d and active_space_shards() == 1:
+            bs_lvl = fused_stage_bs(z, channels[lvl], use_bn,
+                                    dropout[lvl], ndim=2,
+                                    dynamic_ok=False)
+        stage = Stage(
+            channels[lvl], dropout=dropout[lvl], use_bn=use_bn,
+            downsample=(in_ch != channels[lvl]), ndim=2, dtype=dtype,
+            packed_in=meta, keep_packed=bs_lvl is not None,
+            name=name_fmt.format(lvl + 1))
+        with valid_extents(**(ext2d or {})):
+            out = stage(cur, train)
+        out_meta: Meta = ((1, z // bs_lvl, bs_lvl)
+                          if bs_lvl is not None else None)
+        convs.append((out, out_meta))
+
+        if lvl < n_levels - 1:
+            wH, wW = pools[min(lvl, 3)]
+            Ycur = out.shape[1]
+            if (out_meta is not None and Ycur % wH == 0
+                    and bs_lvl % wW == 0):
+                nbo = z // bs_lvl
+                cur = pool_packed(out, 1, nbo, bs_lvl, (wH, 1, wW))
+                meta = (1, nbo, bs_lvl // wW)
+            else:
+                compact = as_compact_2d(out, out_meta)
+                cur = max_pool(compact, pools[min(lvl, 3)])
+                meta = None
+            ext2d = pooled_ext(ext2d, pools[min(lvl, 3)],
+                               names=("h", "w"))
+        in_ch = channels[lvl]
+    return convs, exts
+
+
 def proj_depth_ext(ext, num_reductions: int, final_kernel: int):
     """The TRUE depth extent of a projection head's output (the
     stride-2 cascade then the VALID final conv) — the divisor for the

@@ -93,30 +93,15 @@ class ModifiedUnet3D2D(nn.Module):
         from multimodal_fusion_fpn_tpu.models.blocks import (
             current_valid, valid_extents)
         from multimodal_fusion_fpn_tpu.models.encoder3d import (
-            pooled_ext, proj_depth_ext, run_3d_encoder)
+            as_compact_2d, proj_depth_ext, run_2d_encoder,
+            run_3d_encoder)
         root_ext = current_valid()
         # the root context carries BOTH modalities' extents: (y, x, z)
         # for the volume and (h, w) for the en-face map.
-        ext2d = ({k: v for k, v in root_ext.items() if k in ("h", "w")}
-                 if root_ext else None) or None
-        skips2d = []
-        exts2d = []
-        x2 = enface
-        in_ch = enface.shape[-1]
-        for lvl in range(n2d):
-            exts2d.append(ext2d)
-            with valid_extents(**(ext2d or {})):
-                x2 = Stage(
-                    ch[lvl], dropout=drop[lvl], use_bn=bn,
-                    downsample=(in_ch != ch[lvl]), ndim=2,
-                    dtype=self.dtype,
-                    name=f"conv{lvl + 1}_2d")(x2, train)
-            skips2d.append(x2)
-            if lvl < n2d - 1:
-                x2 = max_pool(x2, POOLS_2D[min(lvl, 3)])
-                ext2d = pooled_ext(ext2d, POOLS_2D[min(lvl, 3)],
-                                   names=("h", "w"))
-            in_ch = ch[lvl]
+        convs2d, exts2d = run_2d_encoder(Stage, ch, drop, bn,
+                                         self.dtype, enface, train,
+                                         POOLS_2D, n2d)
+        skips2d = [as_compact_2d(v, m) for v, m in convs2d]
 
         # --- 3D encoder (packed inter-stage plumbing) -----------------------
         ext3d_root = ({k: v for k, v in root_ext.items()

@@ -16,7 +16,7 @@ from flax import linen as nn
 
 from multimodal_fusion_fpn_tpu.models.arch_config import ArchSpec
 from multimodal_fusion_fpn_tpu.models.blocks import (
-    EncoderStage, UpBlock2, conv_kernel_init, max_pool, maybe_remat)
+    EncoderStage, UpBlock2, conv_kernel_init, maybe_remat)
 from multimodal_fusion_fpn_tpu.models.fusion import POOLS_2D
 from multimodal_fusion_fpn_tpu.models.unet3d import UPFACTORS
 
@@ -46,29 +46,13 @@ class ModifiedUnet2D(nn.Module):
         # the volume names ('y', 'x') — same machinery as the hybrid
         # fusion net (models/fusion.py).
         from multimodal_fusion_fpn_tpu.models.blocks import (
-            current_valid, valid_extents)
-        from multimodal_fusion_fpn_tpu.models.encoder3d import pooled_ext
-        root_ext = current_valid()
-        ext2d = ({k: v for k, v in root_ext.items() if k in ("h", "w")}
-                 if root_ext else None) or None
-        exts2d = []
-        skips = []
-        x = enface
-        in_ch = enface.shape[-1]
-        for lvl in range(self.levels):
-            exts2d.append(ext2d)
-            with valid_extents(**(ext2d or {})):
-                x = Stage(
-                    ch[lvl], dropout=drop[lvl], use_bn=bn,
-                    downsample=(in_ch != ch[lvl]), ndim=2,
-                    dtype=self.dtype,
-                    name=f"conv{lvl + 1}_2d")(x, train)
-            skips.append(x)
-            if lvl < self.levels - 1:
-                x = max_pool(x, POOLS_2D[min(lvl, 3)])
-                ext2d = pooled_ext(ext2d, POOLS_2D[min(lvl, 3)],
-                                   names=("h", "w"))
-            in_ch = ch[lvl]
+            valid_extents)
+        from multimodal_fusion_fpn_tpu.models.encoder3d import (
+            as_compact_2d, run_2d_encoder)
+        convs2d, exts2d = run_2d_encoder(Stage, ch, drop, bn,
+                                         self.dtype, enface, train,
+                                         POOLS_2D, self.levels)
+        skips = [as_compact_2d(v, m) for v, m in convs2d]
 
         # Lift 2D skips to 5D (depth 1): reference unets2D.py:124-127.
         skips = [s[:, :, :, None, :] for s in skips]
