@@ -266,13 +266,33 @@ def _roll_rows(v, shift: int):
     return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
 
 
+def _g1_G(Y: int) -> int:
+    """Rows-per-grid-step for the kY==1 kernels: largest G in {8, 4, 2}
+    dividing Y, capped by MMF_G1 (unset = 8; "0"/"1" disables — the
+    on-chip A/B escape hatch, tools/onchip_r4.py)."""
+    try:
+        cap = int(os.environ.get("MMF_G1", "8"))
+    except ValueError:
+        cap = 8
+    for g in (8, 4, 2):
+        if g <= cap and Y % g == 0:
+            return g
+    return 1
+
+
 def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
             with_stats: bool = False, with_dyn: bool = False,
-            dyn_valid_in: int = 0):
+            dyn_valid_in: int = 0, G: int = 1):
     # operand order: per input i: kY slabs; then per input: scale, bias;
     # [ext_ref when with_dyn;] then band [, wplus, wminus]; finally
     # out_ref [, s1_ref, s2_ref].
+    #
+    # G > 1 (kY==1 only, MMF_G1): the block carries G consecutive Y rows
+    # processed as ONE (G*RX, CC) slab — fewer grid steps, G*-larger DMAs
+    # and dots.  All row masks use the WITHIN-Y-row index (row % RX), so
+    # a roll crossing a Y-row boundary lands only on rows whose tap is
+    # masked anyway (the same argument as the X-group boundary masks).
     idx = 0
     x_refs = []
     for _ in range(n_in):
@@ -303,6 +323,8 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
 
     y = pl.program_id(1)
     RX = X * nb
+    R = G * RX
+    assert G == 1 or kY == 1, (G, kY)
     if with_stats:
         step = pl.program_id(0) * pl.num_programs(1) + y
 
@@ -311,19 +333,21 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             s1_ref[...] = jnp.zeros_like(s1_ref)
             s2_ref[...] = jnp.zeros_like(s2_ref)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    # within-Y-row index: masks have period RX over the G-row slab
+    rloc = jax.lax.rem(rows_i, RX) if G > 1 else rows_i
     mrow = jax.lax.rem(rows_i, nb)
     head_m = mrow != 0
     tail_m = mrow != nb - 1
     # per-tap X-boundary masks (padless layout: a roll by ±nb wraps
     # real rows from the opposite X edge — mask the boundary group)
-    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
+    tap_row_m = {0: rloc >= nb, 1: None, 2: rloc < RX - nb}
     if kz == 3:
         # wplus writes only col-block 0, wminus only col-block bs-1 —
         # one combined dot, contributions separated by column masks.
         CCo = out_ref.shape[-1]
         co = CCo // bs
-        col = jax.lax.broadcasted_iota(jnp.int32, (RX, CCo), 1)
+        col = jax.lax.broadcasted_iota(jnp.int32, (R, CCo), 1)
         head_cols = jnp.logical_and(head_m, col < co)
         tail_cols = jnp.logical_and(tail_m, col >= (bs - 1) * co)
 
@@ -332,25 +356,33 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         zt = ext_ref[2]
         CC_in = x_refs[0][0].shape[-1]
         ci_in = CC_in // bs
-        xg = rows_i // nb                       # (RX, 1) int32
+        xg = rloc // nb                         # (R, 1) int32
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_in), 1)
         j_in = lane // ci_in
         # slot-sparse buffers (the strided cascade) hold logical
         # z = m*valid_in + j with only slots j < valid_in live;
         # dyn_valid_in=0 means dense (valid_in == bs).
         vi = dyn_valid_in or bs
-        zlog = mrow * vi + j_in                 # (RX, CC) int32
+        zlog = mrow * vi + j_in                 # (R, CC) int32
         dyn_valid = jnp.logical_and(
             jnp.logical_and(
                 xg < xt,     # mosaic-f32-ok: int32 compare
                 zlog < zt),  # mosaic-f32-ok: int32 compare
             j_in < vi)       # mosaic-f32-ok: int32 compare
+        if G > 1:
+            # per-sub-row Y validity (the G==1 path applies it as one
+            # scalar per slab below)
+            yrow = y * G + rows_i // RX          # (R, 1) int32
+            dyn_valid = jnp.logical_and(
+                dyn_valid,
+                yrow < ext_ref[0])  # mosaic-f32-ok: int32 compare
 
     acc = None
     for dy in range(kY):
         t = None
         for i in range(n_in):
-            xv = x_refs[i][dy][0, 0]
+            xv = (x_refs[i][dy][0].reshape(R, -1) if G > 1
+                  else x_refs[i][dy][0, 0])
             s_ref, b_ref = sb_refs[i]
             term = xv * s_ref[:] + b_ref[:]
             t = term if t is None else t + term
@@ -358,17 +390,18 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             t = jnp.maximum(t, 0.0)
         if with_dyn:
             t = jnp.where(dyn_valid, t, jnp.zeros((), t.dtype))
-            # the slab may lie beyond the true Y extent — its
-            # (x, z)-valid entries still carry affine garbage
-            yy_d = y + dy - kY // 2
-            yv = jnp.logical_and(
-                yy_d >= 0,
-                yy_d < ext_ref[0])  # mosaic-f32-ok: int32 scalar
-            t = t * yv.astype(t.dtype)
+            if G == 1:
+                # the slab may lie beyond the true Y extent — its
+                # (x, z)-valid entries still carry affine garbage
+                yy_d = y + dy - kY // 2
+                yv = jnp.logical_and(
+                    yy_d >= 0,
+                    yy_d < ext_ref[0])  # mosaic-f32-ok: int32 scalar
+                t = t * yv.astype(t.dtype)
         part = None
         for dx in range(kX):
             tap = dy * kX + dx
-            rows = _roll_rows(t, ((1 - dx) * nb) % RX) \
+            rows = _roll_rows(t, ((1 - dx) * nb) % R) \
                 if kX == 3 else t
             a = jax.lax.dot_general(
                 rows, band_ref[tap],
@@ -380,7 +413,7 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
-                a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+                a = a + jnp.where(tail_cols, _roll_rows(p, R - 1), 0.0)
             if kX == 3 and tap_row_m[dx] is not None:
                 # band + wraps of one tap share the source x-group
                 a = jnp.where(tap_row_m[dx], a, 0.0)
@@ -393,7 +426,10 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         acc = part if acc is None else acc + part
 
     yv = acc.astype(out_dtype)
-    out_ref[0, 0] = yv
+    if G > 1:
+        out_ref[0] = yv.reshape(G, RX, -1)
+    else:
+        out_ref[0, 0] = yv
     if with_stats:
         # stats of the ROUNDED output (what interior_stats would read
         # back from HBM), accumulated in fp32.
@@ -438,12 +474,21 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
                 preferred_element_type, interpret, with_stats,
                 dyn_extents)
 
+    # kY==1 (the (1,3,3)/(1,1,3) convs — 4 of 5 stage convs + the
+    # cascades): G consecutive Y rows per grid step (MMF_G1, default 8).
+    G1 = _g1_G(Y) if kY == 1 else 1
+
     ops = []
     in_specs = []
     for i in range(n_in):
         for dy in range(kY):
             off = dy - kY // 2
             ops.append(xs[i])
+            if G1 > 1:
+                in_specs.append(pl.BlockSpec(
+                    (1, G1, RX, CC), lambda b, y: (b, y, 0, 0),
+                    memory_space=pltpu.VMEM))
+                continue
             in_specs.append(pl.BlockSpec(
                 (1, 1, RX, CC),
                 lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1),
@@ -479,9 +524,10 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
         _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=preferred_element_type,
         with_stats=with_stats, with_dyn=dyn_extents is not None,
-        dyn_valid_in=dyn_valid_in)
+        dyn_valid_in=dyn_valid_in, G=G1)
 
-    y_spec = pl.BlockSpec((1, 1, RX, bs * co), lambda b, y: (b, y, 0, 0),
+    y_spec = pl.BlockSpec((1, G1, RX, bs * co),
+                          lambda b, y: (b, y, 0, 0),
                           memory_space=pltpu.VMEM)
     y_shape = jax.ShapeDtypeStruct((B, Y, RX, bs * co),
                                    preferred_element_type)
@@ -495,7 +541,7 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
         out_specs, out_shape = y_spec, y_shape
     return pl.pallas_call(
         kern,
-        grid=(B, Y),
+        grid=(B, Y // G1),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -1748,7 +1794,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                X: int, nb: int, bs: int, relu: bool, Y: int, out_dtype,
                head_block: int, tail_block: int,
                with_gstats: bool = False, want_band: bool = False,
-               want_wrap: bool = False):
+               want_wrap: bool = False, G: int = 1):
     # operands: per fwd-input i: 1 center slab; then per i: scale, bias;
     # g: kY slabs; [y_out slab, gs1, gs2 when with_gstats];
     # bandT [, wrapT]; outputs: n_in dx slabs, n_in ds accumulators,
@@ -1786,16 +1832,19 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     y = pl.program_id(1)
     step = pl.program_id(0) * pl.num_programs(1) + y
     RX = X * nb
+    R = G * RX
+    assert G == 1 or kY == 1, (G, kY)
 
-    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    rloc = jax.lax.rem(rows_i, RX) if G > 1 else rows_i
     mrow = jax.lax.rem(rows_i, nb)
     head_m = mrow != 0
     tail_m = mrow != nb - 1
     # per-tap X-boundary masks (padless layout)
-    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
+    tap_row_m = {0: rloc >= nb, 1: None, 2: rloc < RX - nb}
     if kz == 3:
         col = jax.lax.broadcasted_iota(
-            jnp.int32, (RX, band_ref.shape[-1]), 1)
+            jnp.int32, (R, band_ref.shape[-1]), 1)
         co_out = band_ref.shape[-1] // bs
         # The transposed wrap matrices write ONE column block each —
         # block head_block for wplusT, tail_block for wminusT.  For the
@@ -1821,15 +1870,18 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                 wpc_ref[...] = jnp.zeros_like(wpc_ref)
                 wmc_ref[...] = jnp.zeros_like(wmc_ref)
 
+    def slab(ref):
+        return ref[0].reshape(R, -1) if G > 1 else ref[0, 0]
+
     dt = None
     gm0 = None
     for dy in range(kY):
-        gv = g_refs[dy][0, 0]
+        gv = slab(g_refs[dy])
         if with_gstats:
             # output-stats cotangent folded in VMEM:
             # g_total = g + gs1 + 2*y*gs2  (kY==1 only — asserted by
             # the caller; a kY>1 fold would read kY y-slabs).
-            yf = yst_ref[0, 0].astype(jnp.float32)
+            yf = slab(yst_ref).astype(jnp.float32)
             gv = (gv.astype(jnp.float32) + gs1_ref[:]
                   + 2.0 * yf * gs2_ref[:]).astype(gv.dtype)
         if dy == kY // 2:
@@ -1841,7 +1893,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         part = None
         for dx in range(kX):
             tap = dy * kX + dx
-            rows = _roll_rows(gv, ((1 - dx) * nb) % RX) \
+            rows = _roll_rows(gv, ((1 - dx) * nb) % R) \
                 if kX == 3 else gv
             a = jax.lax.dot_general(
                 rows, band_ref[tap],
@@ -1853,7 +1905,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 a = a + jnp.where(head_cols, _roll_rows(p, 1), 0.0)
-                a = a + jnp.where(tail_cols, _roll_rows(p, RX - 1), 0.0)
+                a = a + jnp.where(tail_cols, _roll_rows(p, R - 1), 0.0)
             if kX == 3 and tap_row_m[dx] is not None:
                 a = jnp.where(tap_row_m[dx], a, 0.0)
             part = a if part is None else part + a
@@ -1864,7 +1916,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     if relu or want_band:
         for i in range(n_in):
             s_ref, b_ref = sb_refs[i]
-            term = x_refs[i][0, 0] * s_ref[:] + b_ref[:]
+            term = slab(x_refs[i]) * s_ref[:] + b_ref[:]
             pre = term if pre is None else pre + term
     if relu:
         # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
@@ -1876,10 +1928,13 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
     db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)
     for i in range(n_in):
         s_ref, _ = sb_refs[i]
-        dx_refs[i][0, 0] = (dtm * s_ref[:].astype(jnp.float32)).astype(
-            out_dtype)
+        dxv = (dtm * s_ref[:].astype(jnp.float32)).astype(out_dtype)
+        if G > 1:
+            dx_refs[i][0] = dxv.reshape(G, RX, -1)
+        else:
+            dx_refs[i][0, 0] = dxv
         ds_refs[i][...] += jnp.sum(
-            dtm * x_refs[i][0, 0].astype(jnp.float32), axis=0,
+            dtm * slab(x_refs[i]).astype(jnp.float32), axis=0,
             keepdims=True)
 
     if want_band:
@@ -1887,11 +1942,11 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         # slabs): dband[tap] = sum_r t[r + shift]^T gm0[r]
         t = jnp.maximum(pre, 0.0) if relu else pre
         if want_wrap:
-            hgr = _roll_rows(jnp.where(head_m, gm0, 0.0), RX - 1)
+            hgr = _roll_rows(jnp.where(head_m, gm0, 0.0), R - 1)
             tgr = _roll_rows(jnp.where(tail_m, gm0, 0.0), 1)
         dn = (((0,), (0,)), ((), ()))
         for dx_ in range(kX):
-            rows = _roll_rows(t, (-(dx_ - kX // 2) * nb) % RX) \
+            rows = _roll_rows(t, (-(dx_ - kX // 2) * nb) % R) \
                 if kX == 3 else t
             if kX == 3 and tap_row_m[dx_] is not None:
                 rows = jnp.where(tap_row_m[dx_], rows, 0.0)
@@ -1938,12 +1993,13 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
                                   relu, interpret, want_band=want_band)
     assert not want_band or kY == 1, (kY, "merged dx+dband needs the "
                                       "single-g-slab form")
+    G1 = _g1_G(Y) if kY == 1 else 1
 
     ops = []
     in_specs = []
     for i in range(n_in):
         ops.append(xs[i])
-        in_specs.append(pl.BlockSpec((1, 1, RX, CC),
+        in_specs.append(pl.BlockSpec((1, G1, RX, CC),
                                      lambda b, y: (b, y, 0, 0),
                                      memory_space=pltpu.VMEM))
     for i in range(n_in):
@@ -1958,15 +2014,21 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     for dy in range(kY):
         off = dy - kY // 2
         ops.append(g.astype(dt))
-        in_specs.append(pl.BlockSpec(
-            (1, 1, RX, CCg),
-            lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1), 0, 0),
-            memory_space=pltpu.VMEM))
+        if G1 > 1:  # kY == 1: the only slab is the center one
+            in_specs.append(pl.BlockSpec(
+                (1, G1, RX, CCg), lambda b, y: (b, y, 0, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, 1, RX, CCg),
+                lambda b, y, off=off: (b, jnp.clip(y + off, 0, Y - 1),
+                                       0, 0),
+                memory_space=pltpu.VMEM))
     if stats_cot is not None:
         assert kY == 1, "stats-cot fold needs the single-g-slab form"
         y_out, gs1, gs2 = stats_cot
         ops.append(y_out)
-        in_specs.append(pl.BlockSpec((1, 1, RX, CCg),
+        in_specs.append(pl.BlockSpec((1, G1, RX, CCg),
                                      lambda b, y: (b, y, 0, 0),
                                      memory_space=pltpu.VMEM))
         for v in (gs1, gs2):
@@ -1987,9 +2049,9 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
         _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
         relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
         tail_block=tail_block, with_gstats=stats_cot is not None,
-        want_band=want_band, want_wrap=want_wrap)
+        want_band=want_band, want_wrap=want_wrap, G=G1)
 
-    slab_spec = pl.BlockSpec((1, 1, RX, CC), lambda b, y: (b, y, 0, 0),
+    slab_spec = pl.BlockSpec((1, G1, RX, CC), lambda b, y: (b, y, 0, 0),
                              memory_space=pltpu.VMEM)
     acc_spec = pl.BlockSpec((1, CC), lambda b, y: (0, 0),
                             memory_space=pltpu.VMEM)
@@ -2007,7 +2069,7 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
         out_shapes += [bc_shape] * n_bc
     out = pl.pallas_call(
         kern,
-        grid=(B, Y),
+        grid=(B, Y // G1),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
