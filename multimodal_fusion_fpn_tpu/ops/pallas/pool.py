@@ -26,6 +26,7 @@ even extents is supported.
 """
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -35,23 +36,78 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _zpair_max(v, bs: int, C: int):
-    """(rows, bs*C) -> (rows, (bs//2)*C): max over z-slot pairs."""
+    """(..., bs*C) -> (..., (bs//2)*C): max over z-slot pairs."""
     parts = [
-        jnp.maximum(v[:, (2 * j) * C:(2 * j + 1) * C],
-                    v[:, (2 * j + 1) * C:(2 * j + 2) * C])
+        jnp.maximum(v[..., (2 * j) * C:(2 * j + 1) * C],
+                    v[..., (2 * j + 1) * C:(2 * j + 2) * C])
         for j in range(bs // 2)
     ]
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if len(parts) == 1:  # mosaic-f32-ok: static python len
+        return parts[0]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def _zpair_expand(e, bs_out: int, C: int):
-    """(rows, bs_out*C) -> (rows, 2*bs_out*C): duplicate each slot group
+    """(..., bs_out*C) -> (..., 2*bs_out*C): duplicate each slot group
     (inverse indexing of :func:`_zpair_max`)."""
     parts = []
     for j in range(bs_out):
-        g = e[:, j * C:(j + 1) * C]
+        g = e[..., j * C:(j + 1) * C]
         parts.extend((g, g))
-    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if len(parts) == 1:  # mosaic-f32-ok: static python len
+        return parts[0]
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _pool_row_mode() -> bool:
+    """Whole-X-row pool blocks (MMF_POOL_ROW, default on; "0" reverts
+    to the per-window grid — the on-chip A/B escape hatch).
+
+    The per-window grid runs (B, Y/wY, X/wX) steps on (nb, CC) blocks —
+    ~1 KB of work per step at stage-1 sizes (63k steps for the s1
+    pool).  Row mode runs (B, Y/wY) steps, each reading the full
+    (wY, X, nb, CC) input row as ONE contiguous DMA and writing the
+    whole pooled row."""
+    return os.environ.get("MMF_POOL_ROW", "1") != "0"
+
+
+def _fwd_row_kernel(x_ref, out_ref, *, wY: int, wX: int, nXo: int,
+                    bs: int, C: int, wZ: int):
+    # x_ref: (1, wY, X, nb, CC); out_ref: (1, 1, nXo, nb, CCo)
+    v = x_ref[0]
+    v = v.reshape(wY, nXo, wX, v.shape[-2], v.shape[-1])
+    m = None
+    for dy in range(wY):
+        for dx in range(wX):
+            p = v[dy, :, dx]
+            m = p if m is None else jnp.maximum(m, p)
+    if wZ == 2:
+        m = _zpair_max(m, bs, C)
+    out_ref[0, 0] = m
+
+
+def _bwd_row_kernel(x_ref, o_ref, g_ref, dx_ref, *, wY: int, wX: int,
+                    nXo: int, bs: int, C: int, wZ: int):
+    # x_ref/dx_ref: (1, wY, X, nb, CC); o_ref/g_ref: (1, 1, nXo, nb,
+    # CCo).  Same tie-routing as _bwd_kernel, whole rows per step.
+    o = o_ref[0, 0]
+    g = g_ref[0, 0]
+    if wZ == 2:
+        o = _zpair_expand(o, bs // 2, C)
+        g = _zpair_expand(g, bs // 2, C)
+    of = o.astype(jnp.float32)
+    for dy in range(wY):
+        xw = x_ref[0, dy]
+        xw = xw.reshape(nXo, wX, xw.shape[-2], xw.shape[-1])
+        parts = []
+        for dx in range(wX):
+            x = xw[:, dx]
+            # Mosaic rejects sub-32-bit vector compares: compare in
+            # fp32 (`of` is o cast to fp32 above).
+            tie = x.astype(jnp.float32) == of  # mosaic-f32-ok
+            parts.append(jnp.where(tie, g, 0.0).astype(x.dtype))
+        row = jnp.stack(parts, axis=1)
+        dx_ref[0, dy] = row.reshape(nXo * wX, *row.shape[2:])
 
 
 def _fwd_kernel(*refs, n_in: int, bs: int, C: int, wZ: int):
@@ -141,6 +197,24 @@ def _pool_fwd_impl(xp, X, nb, bs, window, interpret=None):
     n_in = wY * wX
     CCo = (bs // wZ) * C
     x5 = xp.reshape(B, Y, X, nb, CC)
+    out_shape = jax.ShapeDtypeStruct(
+        (B, Y // wY, X // wX, nb, CCo), xp.dtype)
+    if _pool_row_mode():
+        kern = functools.partial(_fwd_row_kernel, wY=wY, wX=wX,
+                                 nXo=X // wX, bs=bs, C=C, wZ=wZ)
+        out = pl.pallas_call(
+            kern,
+            grid=(B, Y // wY),
+            in_specs=[pl.BlockSpec((1, wY, X, nb, CC),
+                                   lambda b, y: (b, y, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, X // wX, nb, CCo),
+                                   lambda b, y: (b, y, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x5)
+        return out.reshape(B, Y // wY, (X // wX) * nb, CCo)
     kern = functools.partial(_fwd_kernel, n_in=n_in, bs=bs, C=C, wZ=wZ)
     out = pl.pallas_call(
         kern,
@@ -149,8 +223,7 @@ def _pool_fwd_impl(xp, X, nb, bs, window, interpret=None):
         out_specs=pl.BlockSpec((1, 1, 1, nb, CCo),
                                lambda b, y, x: (b, y, x, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, Y // wY, X // wX, nb, CCo), xp.dtype),
+        out_shape=out_shape,
         interpret=interpret,
     )(*([x5] * n_in))
     return out.reshape(B, Y // wY, (X // wX) * nb, CCo)
@@ -173,6 +246,24 @@ def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
     x5 = xp.reshape(B, Y, X, nb, CC)
     o5 = out.reshape(B, Y // wY, X // wX, nb, CCo)
     g5 = g.astype(xp.dtype).reshape(B, Y // wY, X // wX, nb, CCo)
+    if _pool_row_mode():
+        kern = functools.partial(_bwd_row_kernel, wY=wY, wX=wX,
+                                 nXo=X // wX, bs=bs, C=C, wZ=wZ)
+        x_spec = pl.BlockSpec((1, wY, X, nb, CC),
+                              lambda b, y: (b, y, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((1, 1, X // wX, nb, CCo),
+                              lambda b, y: (b, y, 0, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dx = pl.pallas_call(
+            kern,
+            grid=(B, Y // wY),
+            in_specs=[x_spec, o_spec, o_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x5.shape, xp.dtype),
+            interpret=interpret,
+        )(x5, o5, g5)
+        return (dx.reshape(xp.shape),)
     kern = functools.partial(_bwd_kernel, bs=bs, C=C, wZ=wZ,
                              wY=wY, wX=wX)
     # pooled-resolution grid: each step reads the (wY, wX) x-window,

@@ -48,3 +48,27 @@ def test_retarget_bs_is_a_permutation_free_reshape():
     assert nb2 == 6
     np.testing.assert_array_equal(np.asarray(unpack(xr, 4, 6, 4)),
                                   np.asarray(x))
+
+
+@pytest.mark.parametrize("win", [(1, 2, 2), (2, 2, 2), (2, 2, 1)])
+def test_pool_row_mode_matches_per_window(monkeypatch, win):
+    """MMF_POOL_ROW (whole-X-row blocks, default on) vs the per-window
+    grid: bit-identical forward and cotangent."""
+    rng = np.random.default_rng(3)
+    B, Y, X, Z, C, bs = 2, 4, 6, 32, 3, 8
+    x = jnp.asarray(rng.normal(size=(B, Y, X, Z, C)).astype(np.float32))
+    xp = pack(x, bs)
+    nb = Z // bs
+
+    def run():
+        out = pool_packed(xp, X, nb, bs, win)
+        g = jax.grad(lambda xp: jnp.sum(
+            pool_packed(xp, X, nb, bs, win) ** 2))(xp)
+        return np.asarray(out), np.asarray(g)
+
+    monkeypatch.setenv("MMF_POOL_ROW", "1")
+    o_row, g_row = run()
+    monkeypatch.setenv("MMF_POOL_ROW", "0")
+    o_win, g_win = run()
+    np.testing.assert_array_equal(o_row, o_win)
+    np.testing.assert_array_equal(g_row, g_win)
