@@ -93,7 +93,8 @@ def _is_transient(exc: Exception) -> bool:
 # cliff if a new kernel trips a Mosaic compile rule on the real chip.
 R4_OFF_ENV = {"MMF_FUSED_STATS": "0", "MMF_YCHUNK": "0",
               "MMF_FUSED_PAIR": "0", "MMF_MERGED_BWD": "0",
-              "MMF_FUSED_CHAIN": "0"}
+              "MMF_FUSED_CHAIN": "0", "MMF_FUSED_2D": "0",
+              "MMF_G1": "0", "MMF_POOL_ROW": "0"}
 
 
 def _apply_prec_env(prec):

@@ -52,7 +52,11 @@ def main():
             ("train_b4_bf16_nows", "MMF_FUSED_STATS=0", "MMF_FUSED_STATS"),
             ("train_b4_bf16_noyck", "MMF_YCHUNK=0", "MMF_YCHUNK"),
             ("train_b4_bf16_nomerge", "MMF_MERGED_BWD=0",
-             "MMF_MERGED_BWD")]:
+             "MMF_MERGED_BWD"),
+            ("train_b4_bf16_no2d", "MMF_FUSED_2D=0", "MMF_FUSED_2D"),
+            ("train_b4_bf16_nog1", "MMF_G1=0", "MMF_G1"),
+            ("train_b4_bf16_nopoolrow", "MMF_POOL_ROW=0",
+             "MMF_POOL_ROW")]:
         r = recs.get(phase)
         if not r:
             print(f"  {label:32s} (pending)")
@@ -68,7 +72,8 @@ def main():
               f"{r['img_per_s']:6.2f} img/s{d}")
 
     print("== batch sweep ==")
-    for phase in ("train_b6_bf16_ws", "train_b8_bf16_remat_ws"):
+    for phase in ("train_b6_bf16_ws", "train_b8_bf16_remat_ws",
+                  "train_b8_bf16_ws"):
         r = recs.get(phase)
         print(f"  {phase:32s} " + (f"{r['ms_per_step']:7.1f} ms "
                                    f"{r['img_per_s']:6.2f} img/s"

@@ -171,6 +171,93 @@ def main():
     ok &= check("chain", run_chain("pallas"), run_chain("ref"),
                 1e-4, 1e-4)
 
+    # 2D en-face mapping (round 4): the 2D stages ride the same kernels
+    # with a singleton X and z = W — X=1 grids are the Mosaic edge case
+    # this section covers (kernels/shapes identical otherwise).
+    B2, Y2, X2, Z2, C2, bs2 = 2, 12, 1, 48, 16, 8
+    nb2 = Z2 // bs2
+    x2 = jnp.asarray(rng.normal(size=(B2, Y2, X2, Z2, C2)), dt)
+    xp2 = fc.pack(x2, bs2)
+    s2_ = jnp.asarray(rng.normal(size=(bs2 * C2,)), dt)
+    b2_ = jnp.asarray(rng.normal(size=(bs2 * C2,)), dt)
+    g2 = jnp.asarray(rng.normal(size=(B2, Y2, X2 * nb2, bs2 * C2)), dt)
+    for kshape in ((1, 1, 3), (3, 1, 1)):
+        w = jnp.asarray(rng.normal(size=kshape + (C2, C2)) * 0.3, dt)
+
+        def run2(impl):
+            def loss_fn(xp, s, b, w):
+                y = fc.fused_conv([xp], [s], [b], w, X2, nb2, bs2,
+                                  relu=True, preferred_element_type=dt,
+                                  impl=impl, out_stats=True)
+                y, s1, s2 = y
+                return (jnp.sum(y * g2) + jnp.sum(s1) + jnp.sum(s2),
+                        y)
+            (l, y), grads = jax.jit(
+                lambda *a: jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
+            )(xp2, s2_, b2_, w)
+            return jax.tree.map(np.asarray, (y, grads))
+
+        yp, gp = run2("pallas")
+        yr, gr = run2("ref")
+        print(f"2D map (X=1) k={kshape}:", flush=True)
+        ok &= check("fwd", yp, yr, 1e-4, 1e-4)
+        for nm, a, r in zip(("dx", "ds", "db", "dw"), gp, gr):
+            ok &= check(nm, a, r, 3e-4, 3e-4)
+
+    # Multi-row (G) blocking for the kY==1 kernels (round 4, MMF_G1):
+    # Mosaic must accept the (1, G, RX, CC) -> (G*RX, CC) ref reshape
+    # and the G-sized rolls; parity G=4 (2 chunks at Y=8) vs per-row.
+    for kshape in ((1, 3, 3), (1, 1, 3)):
+        w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
+
+        def run_g1(impl, g1):
+            os.environ["MMF_G1"] = g1
+
+            def loss_fn(xp, s, b, w):
+                y, s1, s2 = fc.fused_conv(
+                    [xp], [s], [b], w, X, nb, bs, relu=True,
+                    preferred_element_type=dt, impl=impl,
+                    out_stats=True)
+                return (jnp.sum(y * g_seed) + jnp.sum(s1 * 3.0)
+                        + jnp.sum(s2 * 0.5)), (y, s1, s2)
+            (l, aux), grads = jax.jit(
+                lambda *a: jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
+            )(xp, s, b, w)
+            os.environ.pop("MMF_G1", None)
+            return jax.tree.map(np.asarray, (aux, grads))
+
+        ap_, gp_ = run_g1("pallas", "4")
+        ar_, gr_ = run_g1("pallas", "0")
+        print(f"G1 multi-row k={kshape} (G=4 vs per-row):", flush=True)
+        for nm, a, r in zip(("y", "s1", "s2"), ap_, ar_):
+            ok &= check(nm, a, r, 1e-4, 1e-4)
+        for nm, a, r in zip(("dx", "ds", "db", "dw"), gp_, gr_):
+            ok &= check(nm, a, r, 1e-4, 1e-4)
+
+    # Whole-X-row pool blocks (round 4, MMF_POOL_ROW): Mosaic must
+    # accept the 5D row blocks + in-kernel leading-dim reshapes; parity
+    # vs the per-window grid (fwd + tie-routed cotangent).
+    from multimodal_fusion_fpn_tpu.ops.pallas.pool import pool_packed
+    for win in ((1, 2, 2), (2, 2, 2)):
+        def run_pool(mode):
+            os.environ["MMF_POOL_ROW"] = mode
+
+            def f(xp):
+                return jnp.sum(
+                    pool_packed(xp, X, nb, bs, win).astype(jnp.float32)
+                    ** 2)
+            l, gr = jax.jit(jax.value_and_grad(f))(xp)
+            os.environ.pop("MMF_POOL_ROW", None)
+            return np.asarray(l), np.asarray(gr)
+
+        lr_, grow = run_pool("1")
+        lw_, gwin = run_pool("0")
+        print(f"pool row mode win={win}:", flush=True)
+        ok &= check("loss", lr_, lw_, 1e-6, 1e-6)
+        ok &= check("dx", grow, gwin, 1e-6, 1e-6)
+
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -38,9 +38,25 @@ TRAIN_PHASES = [
     # phase isolates its contribution.
     ("train_b4_bf16_nomerge", 4, "bf16", False,
      {"MMF_FUSED_STATS": "1", "MMF_MERGED_BWD": "0"}),
+    # 2D en-face encoder on the fused kernels (round 4, singleton-X
+    # mapping): default is ON, this phase isolates its contribution —
+    # and a Mosaic compile failure here indicts only the 2D variant.
+    ("train_b4_bf16_no2d", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_FUSED_2D": "0"}),
+    # Multi-row grid blocking for the kY==1 kernels (round 4, MMF_G1):
+    # default ON; this phase isolates its contribution.
+    ("train_b4_bf16_nog1", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_G1": "0"}),
+    # Whole-X-row pool blocks (round 4, MMF_POOL_ROW): default ON.
+    ("train_b4_bf16_nopoolrow", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_POOL_ROW": "0"}),
     ("train_b6_bf16_ws", 6, "bf16", False, {"MMF_FUSED_STATS": "1"}),
     ("train_b8_bf16_remat_ws", 8, "bf16", True,
      {"MMF_FUSED_STATS": "1"}),
+    # B=8 WITHOUT remat: the padless buffers + fused stats dropped HBM
+    # pressure since the round-2 OOM boundary; subprocess-bounded, so
+    # an OOM costs one phase.
+    ("train_b8_bf16_ws", 8, "bf16", False, {"MMF_FUSED_STATS": "1"}),
 ]
 
 EVAL_CODE = r"""
