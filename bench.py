@@ -382,6 +382,24 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
+    # A/B-verified flag advice: if the on-chip measurement batch
+    # (tools/onchip_r4.py, run by the tunnel watcher) showed a kernel
+    # feature REGRESSING, run with it off so the recorded headline is
+    # the best verified config — a default flip in code may lag the
+    # measurement by a round.  Explicit env always wins.
+    applied_advice = {}
+    try:
+        from tools.analyze_onchip_r4 import env_advice
+        for k, v in env_advice().items():
+            if k not in os.environ:
+                os.environ[k] = v
+                applied_advice[k] = v
+    except Exception:
+        pass
+    if applied_advice:
+        print(f"# applying A/B advice: {applied_advice}",
+              file=sys.stderr)
+
     # Phase 0: tunnel-health probe.  Each probe is bounded at 2 min and
     # probing as a whole at ~6 min; a dead tunnel therefore degrades to
     # the stale-number JSON instead of rc=124 (round-3 failure mode).
@@ -436,6 +454,8 @@ def main():
               "model": "FPNHybridFusion",
               "shapes": {"oct": [B, 1, Y, Z, X],
                          "slo": [B, 1, 320, 1, 128]}}
+    if applied_advice:
+        detail["applied_ab_advice"] = applied_advice
     # A bf16 compile regression (e.g. a reintroduced Mosaic sub-32-bit
     # compare — tools/mosaic_lint.py) must be loud, not a silent fp32
     # fallback: tools/repro_bf16_kernels.py reproduces it standalone.

@@ -38,7 +38,39 @@ def load_jsonl(path):
     return recs
 
 
+AB_PHASES = [
+    ("train_b4_bf16_nows", "MMF_FUSED_STATS"),
+    ("train_b4_bf16_noyck", "MMF_YCHUNK"),
+    ("train_b4_bf16_nomerge", "MMF_MERGED_BWD"),
+    ("train_b4_bf16_no2d", "MMF_FUSED_2D"),
+    ("train_b4_bf16_nog1", "MMF_G1"),
+    ("train_b4_bf16_nopoolrow", "MMF_POOL_ROW"),
+]
+
+
+def env_advice(log="/tmp/onchip_r4.jsonl", margin_ms=1.0):
+    """Flags whose measured "off" phase beat the default by more than
+    ``margin_ms``: returns {flag: "0"}.  Used by bench.py so the
+    recorded headline reflects the best A/B-verified config even when
+    nobody is around to flip a default between the measurement batch
+    and the driver's bench run."""
+    recs = {r["phase"]: r for r in load_jsonl(log) if "phase" in r}
+    base = recs.get("train_b4_bf16_ws")
+    out = {}
+    if base and "ms_per_step" in base:
+        for phase, flag in AB_PHASES:
+            r = recs.get(phase)
+            if (r and "ms_per_step" in r
+                    and r["ms_per_step"] < base["ms_per_step"]
+                    - margin_ms):
+                out[flag] = "0"
+    return out
+
+
 def main():
+    if "--env-advice" in sys.argv:
+        print(" ".join(f"{k}={v}" for k, v in env_advice().items()))
+        return
     log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/onchip_r4.jsonl"
     recs = {r["phase"]: r for r in load_jsonl(log)}
     if not recs:
