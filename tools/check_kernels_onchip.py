@@ -7,9 +7,19 @@ every cotangent (dx, dscale, dbias, dw) of ``fused_conv`` with
 impl='pallas' vs impl='ref', same device, same inputs, fp32.
 
 Usage: python tools/check_kernels_onchip.py [--stage 1|2|3|tiny]
+                                            [--dtype fp32|bf16]
+
+``--dtype bf16`` exists because Mosaic's compile rules are
+dtype-dependent (sub-32-bit compares/rolls are rejected; CLAUDE.md) —
+an fp32-only triage is blind to exactly the failure class that has
+broken the flagship bf16 compile three times.  In bf16 mode each
+section is exception-isolated (a Mosaic rejection prints the section
+name + error head and the script continues) and parity tolerances are
+scaled for bf16 rounding.
 """
 
 import argparse
+import contextlib
 import os
 import sys
 
@@ -34,6 +44,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", default="tiny")
     ap.add_argument("--strided", action="store_true")
+    ap.add_argument("--dtype", default="fp32", choices=("fp32", "bf16"))
     ap.add_argument("--interpret", action="store_true",
                     help="run the kernels in interpret mode on CPU "
                          "(validates this script off-chip)")
@@ -54,7 +65,22 @@ def main():
     B, Y, X, Z, C, bs = geo[args.stage]
     nb = Z // bs
     rng = np.random.default_rng(7)
-    dt = jnp.float32
+    bf16 = args.dtype == "bf16"
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    # bf16 rounding: both impls quantize at different points, so parity
+    # is coarse — the bf16 triage's real product is COMPILE success.
+    tol = 5e-2 if bf16 else 1.0
+    fails = []
+
+    @contextlib.contextmanager
+    def sect(name):
+        """Exception-isolate one triage section (bf16 Mosaic bisect)."""
+        try:
+            yield
+        except Exception as exc:  # noqa: BLE001 — triage, keep going
+            fails.append(name)
+            print(f"{name}: COMPILE/RUN FAIL: {str(exc)[:300]}",
+                  flush=True)
 
     x = jnp.asarray(rng.normal(size=(B, Y, X, Z, C)), dt)
     xp = fc.pack(x, bs)
@@ -62,8 +88,15 @@ def main():
     b = jnp.asarray(rng.normal(size=(bs * C,)), dt)
     g_seed = jnp.asarray(rng.normal(size=(B, Y, X * nb, bs * C)), dt)
 
+    def T(x):
+        # bf16: ds/db are whole-array reductions of bf16-quantized g —
+        # observed interpret-mode rel deltas up to ~0.15; the bf16
+        # triage certifies COMPILE, so gross-error-only tolerance.
+        return 2.5e-1 if bf16 else x
+
     ok = True
     for kshape in ((1, 3, 3), (3, 1, 1), (1, 1, 1)):
+      with sect(f"basic k={kshape}"):
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run(impl):
@@ -81,12 +114,13 @@ def main():
         yp, gp = run("pallas")
         yr, gr = run("ref")
         print(f"k={kshape}:", flush=True)
-        ok &= check("fwd", yp, yr, 1e-4, 1e-4)
+        ok &= check("fwd", yp, yr, T(1e-4), T(1e-4))
         for nm, a, r in zip(("dx", "ds", "db", "dw"), gp, gr):
-            ok &= check(nm, a, r, 1e-4, 1e-4)
+            ok &= check(nm, a, r, T(1e-4), T(1e-4))
 
     if args.strided:
         for valid in (bs, bs // 2):
+          with sect(f"strided valid_in={valid}"):
             w = jnp.asarray(rng.normal(size=(1, 1, 3, C, C)) * 0.3, dt)
 
             def run(impl):
@@ -104,13 +138,14 @@ def main():
             yp, gp = run("pallas")
             yr, gr = run("ref")
             print(f"strided valid_in={valid}:", flush=True)
-            ok &= check("fwd", yp, yr, 1e-4, 1e-4)
+            ok &= check("fwd", yp, yr, T(1e-4), T(1e-4))
             for nm, a, r in zip(("dx", "ds", "db", "dw"), gp, gr):
-                ok &= check(nm, a, r, 1e-4, 1e-4)
+                ok &= check(nm, a, r, T(1e-4), T(1e-4))
 
     # round-4 kernels: out_stats epilogue/prologue fold (production
     # train config), Y-chunked (3,1,1) vs per-row, eval chain kernel.
     for kshape in ((1, 3, 3), (3, 1, 1)):
+      with sect(f"out_stats k={kshape}"):
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run_ws(impl, ychunk):
@@ -134,42 +169,43 @@ def main():
         ar_, gr_ = run_ws("ref", "8")
         print(f"out_stats k={kshape} (ychunk on):", flush=True)
         for nm, a, r in zip(("y", "s1", "s2"), ap_, ar_):
-            ok &= check(nm, a, r, 1e-4, 1e-4)
+            ok &= check(nm, a, r, T(1e-4), T(1e-4))
         # dw at 3e-4: the in-kernel stats-cotangent fold accumulates
         # g_total = g + gs1 + 2y*gs2 in a different fp32 association
         # order than the ref's XLA pre-fold (both orders are valid).
         for nm, a, r in zip(("dx", "ds", "db", "dw"), gp_, gr_):
-            ok &= check(nm, a, r, 3e-4, 3e-4)
+            ok &= check(nm, a, r, T(3e-4), T(3e-4))
         if kshape[0] == 3:
             ap2, gp2 = run_ws("pallas", "0")
             print("out_stats (3,1,1) per-row vs chunked:", flush=True)
             for nm, a, r in zip(("y", "s1", "s2"), ap2, ap_):
-                ok &= check(nm, a, r, 1e-4, 1e-4)
+                ok &= check(nm, a, r, T(1e-4), T(1e-4))
             for nm, a, r in zip(("dx", "ds", "db", "dw"), gp2, gp_):
-                ok &= check(nm, a, r, 1e-4, 1e-4)
+                ok &= check(nm, a, r, T(1e-4), T(1e-4))
 
     # eval chain kernel (MMF_FUSED_CHAIN path): block1 pattern
     # (1,3,3)+(1,3,3)+(3,1,1) with the 1x1 downsample residual.
-    convs = []
-    r2 = np.random.default_rng(21)
-    for ks in ((1, 3, 3), (1, 3, 3), (3, 1, 1)):
-        wj = jnp.asarray(r2.normal(size=ks + (C, C)) * 0.3, dt)
-        sj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
-        bj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
-        convs.append((wj, sj, bj))
-    ds_p = (jnp.asarray(r2.normal(size=(1, 1, 1, C, C)) * 0.3, dt),
-            jnp.asarray(r2.normal(size=(bs * C,)), dt),
-            jnp.asarray(r2.normal(size=(bs * C,)), dt))
+    with sect("eval chain"):
+        convs = []
+        r2 = np.random.default_rng(21)
+        for ks in ((1, 3, 3), (1, 3, 3), (3, 1, 1)):
+            wj = jnp.asarray(r2.normal(size=ks + (C, C)) * 0.3, dt)
+            sj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
+            bj = jnp.asarray(r2.normal(size=(bs * C,)), dt)
+            convs.append((wj, sj, bj))
+        ds_p = (jnp.asarray(r2.normal(size=(1, 1, 1, C, C)) * 0.3, dt),
+                jnp.asarray(r2.normal(size=(bs * C,)), dt),
+                jnp.asarray(r2.normal(size=(bs * C,)), dt))
 
-    def run_chain(impl):
-        return np.asarray(jax.jit(
-            lambda xp: fc.fused_chain_eval(
-                xp, None, None, False, convs, "res_conv", ds_p, X, nb,
-                bs, preferred_element_type=dt, impl=impl))(xp))
+        def run_chain(impl):
+            return np.asarray(jax.jit(
+                lambda xp: fc.fused_chain_eval(
+                    xp, None, None, False, convs, "res_conv", ds_p, X,
+                    nb, bs, preferred_element_type=dt, impl=impl))(xp))
 
-    print("eval chain (res_conv, trailing (3,1,1)):", flush=True)
-    ok &= check("chain", run_chain("pallas"), run_chain("ref"),
-                1e-4, 1e-4)
+        print("eval chain (res_conv, trailing (3,1,1)):", flush=True)
+        ok &= check("chain", run_chain("pallas"), run_chain("ref"),
+                    T(1e-4), T(1e-4))
 
     # 2D en-face mapping (round 4): the 2D stages ride the same kernels
     # with a singleton X and z = W — X=1 grids are the Mosaic edge case
@@ -182,6 +218,7 @@ def main():
     b2_ = jnp.asarray(rng.normal(size=(bs2 * C2,)), dt)
     g2 = jnp.asarray(rng.normal(size=(B2, Y2, X2 * nb2, bs2 * C2)), dt)
     for kshape in ((1, 1, 3), (3, 1, 1)):
+      with sect(f"2D map k={kshape}"):
         w = jnp.asarray(rng.normal(size=kshape + (C2, C2)) * 0.3, dt)
 
         def run2(impl):
@@ -201,14 +238,15 @@ def main():
         yp, gp = run2("pallas")
         yr, gr = run2("ref")
         print(f"2D map (X=1) k={kshape}:", flush=True)
-        ok &= check("fwd", yp, yr, 1e-4, 1e-4)
+        ok &= check("fwd", yp, yr, T(1e-4), T(1e-4))
         for nm, a, r in zip(("dx", "ds", "db", "dw"), gp, gr):
-            ok &= check(nm, a, r, 3e-4, 3e-4)
+            ok &= check(nm, a, r, T(3e-4), T(3e-4))
 
     # Multi-row (G) blocking for the kY==1 kernels (round 4, MMF_G1):
     # Mosaic must accept the (1, G, RX, CC) -> (G*RX, CC) ref reshape
     # and the G-sized rolls; parity G=4 (2 chunks at Y=8) vs per-row.
     for kshape in ((1, 3, 3), (1, 1, 3)):
+      with sect(f"G1 k={kshape}"):
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run_g1(impl, g1):
@@ -232,15 +270,16 @@ def main():
         ar_, gr_ = run_g1("pallas", "0")
         print(f"G1 multi-row k={kshape} (G=4 vs per-row):", flush=True)
         for nm, a, r in zip(("y", "s1", "s2"), ap_, ar_):
-            ok &= check(nm, a, r, 1e-4, 1e-4)
+            ok &= check(nm, a, r, T(1e-4), T(1e-4))
         for nm, a, r in zip(("dx", "ds", "db", "dw"), gp_, gr_):
-            ok &= check(nm, a, r, 1e-4, 1e-4)
+            ok &= check(nm, a, r, T(1e-4), T(1e-4))
 
     # Whole-X-row pool blocks (round 4, MMF_POOL_ROW): Mosaic must
     # accept the 5D row blocks + in-kernel leading-dim reshapes; parity
     # vs the per-window grid (fwd + tie-routed cotangent).
     from multimodal_fusion_fpn_tpu.ops.pallas.pool import pool_packed
     for win in ((1, 2, 2), (2, 2, 2)):
+      with sect(f"pool row win={win}"):
         def run_pool(mode):
             os.environ["MMF_POOL_ROW"] = mode
 
@@ -255,11 +294,14 @@ def main():
         lr_, grow = run_pool("1")
         lw_, gwin = run_pool("0")
         print(f"pool row mode win={win}:", flush=True)
-        ok &= check("loss", lr_, lw_, 1e-6, 1e-6)
-        ok &= check("dx", grow, gwin, 1e-6, 1e-6)
+        ok &= check("loss", lr_, lw_, T(1e-6), T(1e-6))
+        ok &= check("dx", grow, gwin, T(1e-6), T(1e-6))
 
-    print("ALL OK" if ok else "FAILURES", flush=True)
-    sys.exit(0 if ok else 1)
+    if fails:
+        print("COMPILE/RUN FAILED SECTIONS: " + ", ".join(fails),
+              flush=True)
+    print("ALL OK" if ok and not fails else "FAILURES", flush=True)
+    sys.exit(0 if ok and not fails else 1)
 
 
 if __name__ == "__main__":
