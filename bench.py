@@ -87,6 +87,32 @@ def _is_transient(exc: Exception) -> bool:
     return any(m in msg for m in TRANSIENT_MARKERS)
 
 
+# A remote-compile HTTP 500 with the tpu_compile_helper signature is how
+# a deterministic Mosaic kernel rejection surfaces on this platform
+# (CLAUDE.md).  A single 500 can still be a server flake, so one retry is
+# warranted — but when the SAME config produces the SAME rejection twice
+# in a row (server host:port normalized away — BENCH_r04 saw it on two
+# different compile servers), it is a compile error, not weather:
+# reclassify as permanent and advance to the next rung instead of burning
+# the remaining budget on retries (round-4 lesson: 3 retries + backoff
+# consumed ~14 of 22 min on a failure that was never going to pass).
+_COMPILE_REJECTION_MARKERS = ("tpu_compile_helper", "Mosaic failed")
+_SERVER_RE = None
+
+
+def _compile_rejection_sig(exc: Exception):
+    """Normalized signature of a deterministic compile rejection, or
+    None if this error doesn't look like one."""
+    global _SERVER_RE
+    msg = str(exc)
+    if not any(m in msg for m in _COMPILE_REJECTION_MARKERS):
+        return None
+    if _SERVER_RE is None:
+        import re
+        _SERVER_RE = re.compile(r"https?://[\w.\-]+:\d+")
+    return _SERVER_RE.sub("<server>", msg)[:500]
+
+
 # The round-4 kernel features are default-ON but individually
 # revertible by env; the "bf16_r4off" config rung disables them all —
 # a graceful intermediate between the default bf16 path and the fp32
@@ -134,9 +160,27 @@ def _run_config(B, prec, remat):
         restore_env()
 
 
+def _enable_compile_cache():
+    """Point jax at the repo's persistent compile cache.
+
+    The bench child MUST use the same cache as tests/conftest.py and
+    __graft_entry__.py: without it every subprocess attempt restarted
+    the multi-minute remote compile from zero, and BENCH_r04's fallback
+    rung was killed mid-cold-compile twice (child timeout 119 s / 90 s
+    vs a minutes-long uncached compile).
+    """
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _run_config_impl(B, prec, remat):
     import jax
     import jax.numpy as jnp
+    _enable_compile_cache()
     from multimodal_fusion_fpn_tpu.config import make_config
     from multimodal_fusion_fpn_tpu.losses import Mix, bce_loss, dice_loss_joint
     from multimodal_fusion_fpn_tpu.models.zoo import build_model
@@ -254,14 +298,22 @@ def _probe_backend(timeout_s=120.0):
 
 
 def _attempt(B, prec, remat, max_tries=3, backoff_s=20.0,
-             run=None, sleep=time.sleep, deadline=None):
+             run=None, sleep=time.sleep, deadline=None,
+             permanent_out=None):
     """Run one config with retries on transient failures.
 
     Returns (img_s, dt) or None after exhausting retries / on a
     permanent failure / when the global ``deadline`` (a
     ``time.monotonic()`` timestamp) has passed.
+
+    Two consecutive IDENTICAL compile rejections (Mosaic signature,
+    server address normalized) reclassify the config as permanently
+    broken: return immediately and record the config in
+    ``permanent_out`` (a set) so run_bench skips the post-fallback
+    re-attempt too.
     """
     run = run or _run_config
+    last_sig = None
     for attempt in range(max_tries):
         if deadline is not None and time.monotonic() >= deadline:
             print(f"# B={B} {prec}: global deadline reached, giving up",
@@ -271,10 +323,23 @@ def _attempt(B, prec, remat, max_tries=3, backoff_s=20.0,
             return run(B, prec, remat)
         except Exception as exc:
             transient = _is_transient(exc)
+            sig = _compile_rejection_sig(exc)
+            if sig is not None and sig == last_sig:
+                print(f"# B={B} {prec}: identical compile rejection "
+                      f"twice — deterministic Mosaic/compile failure, "
+                      f"advancing to next config", file=sys.stderr)
+                if permanent_out is not None:
+                    permanent_out.add((B, prec, remat))
+                return None
+            last_sig = sig
             kind = "transient" if transient else "permanent"
             print(f"# B={B} {prec} attempt {attempt + 1} failed "
                   f"({kind}): {str(exc)[:160]}", file=sys.stderr)
-            if not transient or attempt == max_tries - 1:
+            if not transient:
+                if permanent_out is not None:
+                    permanent_out.add((B, prec, remat))
+                return None
+            if attempt == max_tries - 1:
                 return None
             pause = backoff_s * (attempt + 1)
             if deadline is not None:
@@ -295,11 +360,18 @@ def run_bench(configs, sweep=False, run=None, sleep=time.sleep,
     """
     best = None
     failed_preferred = []
+    permanent = set()
     for B, prec, remat in configs:
-        res = _attempt(B, prec, remat, run=run, sleep=sleep,
-                       deadline=deadline)
+        # First pass: at most 2 tries per rung (1 in-place retry for a
+        # quick server flake).  The 3rd try, if any, happens only in the
+        # post-fallback re-attempt loop — so every rung gets its first
+        # attempt before any rung gets a third (round-4 lesson: the
+        # first rung's retries starved every other rung of the budget).
+        res = _attempt(B, prec, remat, max_tries=2, run=run, sleep=sleep,
+                       deadline=deadline, permanent_out=permanent)
         if res is None:
-            failed_preferred.append((B, prec, remat))
+            if (B, prec, remat) not in permanent:
+                failed_preferred.append((B, prec, remat))
             continue
         img_s, dt = res
         print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
@@ -318,7 +390,8 @@ def run_bench(configs, sweep=False, run=None, sleep=time.sleep,
             print(f"# re-attempting preferred config B={B} {prec} "
                   f"after fallback success", file=sys.stderr)
             res = _attempt(B, prec, remat, max_tries=2, run=run,
-                           sleep=sleep, deadline=deadline)
+                           sleep=sleep, deadline=deadline,
+                           permanent_out=permanent)
             if res is not None:
                 img_s, dt = res
                 print(f"# B={B} {prec}: {dt * 1000:.0f} ms/step, "
@@ -341,8 +414,13 @@ def _emit(payload):
     print(json.dumps(payload), flush=True)
 
 
-def _fallback_payload(error):
-    return {
+def _fallback_payload(error, failures=None):
+    """Stale-number payload.  ``failures`` (list of (B, prec, remat,
+    error-text) tuples) is embedded so the artifact carries the round's
+    diagnosis even when nothing ran to completion — BENCH_r04's stale
+    JSON said only "deadline" while the discarded failure list held the
+    Mosaic rejection signature three times."""
+    payload = {
         "metric": "train_images_per_sec_per_chip",
         "value": LAST_VERIFIED["value"],
         "unit": "img/s",
@@ -355,6 +433,11 @@ def _fallback_payload(error):
                    "provenance": LAST_VERIFIED["provenance"],
                    "model": "FPNHybridFusion"},
     }
+    if failures:
+        payload["failures"] = [
+            {"batch": B, "precision": prec, "remat": remat, "error": err}
+            for (B, prec, remat, err) in failures]
+    return payload
 
 
 def main():
@@ -438,13 +521,15 @@ def main():
     try:
         best = run_bench(configs, sweep=sweep, run=run, deadline=deadline)
     except Exception as exc:  # noqa: BLE001 — never die without JSON
-        _emit(_fallback_payload(f"bench harness error: {exc!r}"))
+        _emit(_fallback_payload(f"bench harness error: {exc!r}",
+                                failures=failures))
         return
 
     if best is None:
         _emit(_fallback_payload(
-            "no config ran to completion within the deadline — value "
-            "is the last on-chip-verified number"))
+            "no config ran to completion — value is the last "
+            "on-chip-verified number; see 'failures' for this run's "
+            "per-config errors", failures=failures))
         return
 
     img_s, B, prec, remat, dt = best
@@ -470,6 +555,10 @@ def main():
                 # features disabled succeeded: a NEW kernel broke the
                 # Mosaic compile, not the bf16 path as a whole.
                 detail["r4_kernels_failed"] = True
+    if failures:
+        detail["failures"] = [
+            {"batch": fB, "precision": fp, "remat": fr, "error": fe}
+            for (fB, fp, fr, fe) in failures]
     _emit({
         "metric": "train_images_per_sec_per_chip",
         "value": round(img_s, 3),

@@ -204,3 +204,98 @@ def test_apply_prec_env(monkeypatch):
     assert env["MMF_YCHUNK"] == "0"
     assert env["MMF_FUSED_STATS"] == "0"
     assert env["MMF_FUSED_PAIR"] == "0"
+
+
+def test_identical_compile_rejection_reclassified_permanent():
+    """Two identical Mosaic-signature compile 500s on one config (even
+    from different compile servers) must stop that rung after exactly 2
+    attempts, advance, and NOT re-attempt it post-fallback (round-4
+    lesson: 3 retries + backoff burned ~14 of 22 min on a deterministic
+    kernel rejection misread as tunnel weather)."""
+    configs = [(4, "bf16", False), (4, "bf16_r4off", False),
+               (4, "fp32", False)]
+    calls = []
+    ports = iter([8093, 8093, 8083])
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        if prec == "bf16":
+            raise RuntimeError(
+                f"INTERNAL: http://127.0.0.1:{next(ports)}/remote_compile:"
+                " HTTP 500: tpu_compile_helper subprocess exit code 1")
+        return (20.0 if prec.startswith("bf16") else 12.0), 0.2
+
+    best = bench.run_bench(configs, run=run, sleep=_no_sleep)
+    img_s, _B, prec, _remat, _dt = best
+    assert prec == "bf16_r4off" and img_s == 20.0
+    assert calls.count("bf16") == 2  # cut at 2, no post-fallback retry
+    assert "fp32" not in calls
+
+
+def test_compile_rejection_sig_normalizes_server():
+    e1 = RuntimeError("INTERNAL: http://127.0.0.1:8093/remote_compile: "
+                      "HTTP 500: tpu_compile_helper subprocess exit code 1")
+    e2 = RuntimeError("INTERNAL: http://127.0.0.1:8083/remote_compile: "
+                      "HTTP 500: tpu_compile_helper subprocess exit code 1")
+    s1, s2 = bench._compile_rejection_sig(e1), bench._compile_rejection_sig(e2)
+    assert s1 is not None and s1 == s2
+    assert bench._compile_rejection_sig(
+        RuntimeError("Connection refused")) is None
+
+
+def test_every_rung_attempted_before_third_retry():
+    """VERDICT r4 weak #1/#4: a 'first config always 500s' run must
+    still measure the later rungs — every rung gets its 1st attempt
+    before any rung gets its 3rd."""
+    configs = [(4, "bf16", False), (4, "bf16_r4off", False),
+               (4, "fp32", False)]
+    calls = []
+
+    def run(B, prec, remat):
+        calls.append(prec)
+        if prec == "bf16":
+            # generic transient 500 (no Mosaic signature)
+            raise RuntimeError("remote_compile HTTP 500: server error")
+        return (20.0 if prec.startswith("bf16") else 12.0), 0.2
+
+    best = bench.run_bench(configs, run=run, sleep=_no_sleep)
+    img_s, _B, prec, _remat, _dt = best
+    assert prec == "bf16_r4off" and img_s == 20.0
+    # bf16's 3rd attempt (if any) must come after r4off's 1st
+    third_bf16 = [i for i, p in enumerate(calls) if p == "bf16"]
+    first_r4off = calls.index("bf16_r4off")
+    if len(third_bf16) >= 3:
+        assert third_bf16[2] > first_r4off
+
+
+def test_fallback_payload_carries_failures():
+    fails = [(4, "bf16", False,
+              "HTTP 500: tpu_compile_helper subprocess exit code 1"),
+             (4, "bf16_r4off", False, "child timeout after 119s")]
+    p = bench._fallback_payload("deadline", failures=fails)
+    assert p["stale"] is True
+    assert len(p["failures"]) == 2
+    assert p["failures"][0]["precision"] == "bf16"
+    assert "tpu_compile_helper" in p["failures"][0]["error"]
+
+
+def test_child_enables_compile_cache(monkeypatch):
+    """The bench child must use the repo's persistent compile cache
+    (BENCH_r04: the fallback rung was killed mid-cold-compile because
+    each child restarted the remote compile from zero)."""
+    import os as _os
+    calls = {}
+
+    class FakeConfig:
+        @staticmethod
+        def update(key, value):
+            calls[key] = value
+
+    import types
+    fake_jax = types.SimpleNamespace(config=FakeConfig())
+    monkeypatch.setitem(sys.modules, "jax", fake_jax)
+    bench._enable_compile_cache()
+    assert calls["jax_compilation_cache_dir"].endswith(".jax_cache")
+    assert _os.path.dirname(calls["jax_compilation_cache_dir"]) == \
+        _os.path.dirname(_os.path.abspath(bench.__file__))
+    assert calls["jax_persistent_cache_min_compile_time_secs"] == 1.0

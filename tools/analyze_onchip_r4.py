@@ -48,15 +48,36 @@ AB_PHASES = [
 ]
 
 
-def env_advice(log="/tmp/onchip_r4.jsonl", margin_ms=1.0):
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BROKEN_FILE = os.path.join(_REPO, "results", "mosaic_broken_flags.json")
+ONCHIP_LOGS = ("/tmp/onchip_r4.jsonl",
+               os.path.join(_REPO, "results", "onchip_r5.jsonl"))
+
+
+def env_advice(log=None, margin_ms=1.0, broken_file=BROKEN_FILE):
     """Flags whose measured "off" phase beat the default by more than
-    ``margin_ms``: returns {flag: "0"}.  Used by bench.py so the
-    recorded headline reflects the best A/B-verified config even when
-    nobody is around to flip a default between the measurement batch
-    and the driver's bench run."""
-    recs = {r["phase"]: r for r in load_jsonl(log) if "phase" in r}
-    base = recs.get("train_b4_bf16_ws")
+    ``margin_ms``, plus any flag the full-step Mosaic bisect
+    (tools/bisect_r5.py) proved BROKEN on chip: returns {flag: "0"}.
+    Used by bench.py so the recorded headline reflects the best
+    A/B-verified *compilable* config even when nobody is around to flip
+    a default between the measurement batch and the driver's bench
+    run."""
     out = {}
+    # compile-broken flags first (bisect evidence beats timing advice)
+    if broken_file and os.path.exists(broken_file):
+        try:
+            with open(broken_file) as f:
+                for flag in json.load(f).get("broken_flags", []):
+                    out[flag] = "0"
+        except (ValueError, OSError):
+            pass
+    logs = [log] if log else [p for p in ONCHIP_LOGS
+                              if os.path.exists(p)]
+    recs = {}
+    for p in logs:
+        recs.update({r["phase"]: r for r in load_jsonl(p)
+                     if "phase" in r})
+    base = recs.get("train_b4_bf16_ws")
     if base and "ms_per_step" in base:
         for phase, flag in AB_PHASES:
             r = recs.get(phase)
