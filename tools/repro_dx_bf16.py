@@ -84,14 +84,19 @@ def main():
         return (xp, jnp.asarray(s32, dt), jnp.asarray(b32, dt),
                 jnp.asarray(w32, dt), jnp.asarray(g32, dt))
 
-    def grads_of(impl, dt, out_stats, merged):
-        os.environ["MMF_MERGED_BWD"] = "1" if merged else "0"
+    def grads_of(impl, dt, out_stats, merged, relu=True, env=None):
+        saved = {}
+        env = dict(env or {})
+        env["MMF_MERGED_BWD"] = "1" if merged else "0"
+        for k, v in env.items():
+            saved[k] = os.environ.get(k)
+            os.environ[k] = v
         try:
             xp, s, b, w, g = build(dt)
 
             def loss_fn(xp, s, b, w):
                 out = fc.fused_conv([xp], [s], [b], w, X, nb, bs,
-                                    relu=True,
+                                    relu=relu,
                                     preferred_element_type=dt,
                                     impl=impl, out_stats=out_stats)
                 if out_stats:
@@ -104,28 +109,53 @@ def main():
                 xp, s, b, w)
             return jax.tree.map(np.asarray, gr)
         finally:
-            os.environ.pop("MMF_MERGED_BWD", None)
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
 
     os.makedirs(os.path.dirname(args.log), exist_ok=True)
     f32, bf16 = jnp.float32, jnp.bfloat16
     bad = False
     for out_stats in (False, True):
         oracle = grads_of("ref", f32, out_stats, merged=False)
+        # discriminators (round-5 on-chip triage signature: everything
+        # that depends on the transposed-conv dt — dx/ds/db — is wrong
+        # on chip; pre-derived outputs (dband) and all fwd outputs are
+        # fine, in EVERY kernel variant):
+        #   relu=False     -> is the fp32-compare relu mask the breaker?
+        #   MMF_G1=0       -> per-row grid (vs the default G-blocked)
+        #   split          -> round-3 dx kernel (no dband fold)
+        #   pallas_fp32    -> dtype-dependence of the miscompile
         cases = [
             ("ref_bf16", lambda: grads_of("ref", bf16, out_stats, False)),
             ("pallas_merged",
              lambda: grads_of("pallas", bf16, out_stats, True)),
             ("pallas_split",
              lambda: grads_of("pallas", bf16, out_stats, False)),
+            ("pallas_merged_norelu",
+             lambda: grads_of("pallas", bf16, out_stats, True,
+                              relu=False)),
+            ("pallas_merged_g1off",
+             lambda: grads_of("pallas", bf16, out_stats, True,
+                              env={"MMF_G1": "0"})),
+            ("pallas_split_g1off_nostats",
+             lambda: grads_of("pallas", bf16, out_stats, False,
+                              env={"MMF_G1": "0",
+                                   "MMF_FUSED_STATS": "0"})),
             ("pallas_fp32",
              lambda: grads_of("pallas", f32, out_stats, True)),
         ]
+        oracle_norelu = grads_of("ref", f32, out_stats, merged=False,
+                                 relu=False)
         for name, fn in cases:
             rec = {"case": name, "out_stats": out_stats,
                    "kshape": list(kshape)}
+            orc = oracle_norelu if name.endswith("norelu") else oracle
             try:
                 gr = fn()
-                for nm, a, o in zip(("dx", "ds", "db", "dw"), gr, oracle):
+                for nm, a, o in zip(("dx", "ds", "db", "dw"), gr, orc):
                     rec[nm + "_cos"] = round(cos(a, o), 5)
                     rec[nm + "_norm"] = round(
                         float(np.linalg.norm(
@@ -140,6 +170,12 @@ def main():
                     return on == 0 or 0.5 < rec[nm + "_norm"] / on < 2.0
                 rec["ok"] = all(rec[nm + "_cos"] > 0.98 and _ratio_ok(nm)
                                 for nm in ("dx", "ds", "db", "dw"))
+                rec["dx_head"] = [round(float(v), 4) for v in
+                                  np.asarray(gr[0], np.float64)
+                                  .ravel()[:4]]
+                rec["dx_oracle_head"] = [round(float(v), 4) for v in
+                                         np.asarray(orc[0], np.float64)
+                                         .ravel()[:4]]
             except Exception as exc:  # noqa: BLE001 — triage tool
                 rec.update(ok=False, error=str(exc)[:400])
             bad |= not rec["ok"]
