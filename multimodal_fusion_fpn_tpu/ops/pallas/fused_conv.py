@@ -257,6 +257,36 @@ def fused_conv_ref(xs: Sequence[jnp.ndarray], scales, biases,
 # Pallas kernel
 # --------------------------------------------------------------------------
 
+def relu_grad_mask(pre, val):
+    """``val`` where ``pre > 0`` else 0 — the relu-derivative gate of
+    the dx kernels, with the compare idiom selectable at trace time via
+    MMF_MASK_IDIOM:
+
+      bitcast (default)  the predicate as a signed-int32 ordering of
+                         the fp32 bit pattern: for non-NaN x,
+                         ``x > 0.0  <=>  bitcast_int32(x) > 0`` (+0 and
+                         -0 both map to non-positive ints).  Uses only
+                         int32 vector compares — the construct every
+                         working kernel mask already relies on.
+      f32                the direct fp32 vector compare (round <=4
+                         idiom).
+
+    Round-5 on-chip finding (results/stage_triage.log + CLAUDE.md): the
+    direct fp32 vector compare — the ONLY float vector compare in the
+    kernel stack — silently returns garbage on current Mosaic when its
+    operand chain starts at bf16 (the outright-REJECTED sub-32-bit
+    compare class, mis-lowered instead of erroring once an upcast hides
+    it): dx came back ~zeros and ds/db garbage in every bf16 backward
+    variant while fwd/dw (maximum / int32-compare masks) were exact.
+    tools/repro_dx_bf16.py A/Bs the two idioms on chip.
+    """
+    pre32 = pre.astype(jnp.float32)
+    if os.environ.get("MMF_MASK_IDIOM", "bitcast") == "f32":
+        return jnp.where(pre32 > 0, val, 0.0)
+    bits = lax.bitcast_convert_type(pre32, jnp.int32)
+    return jnp.where(bits > 0, val, 0.0)  # mosaic-f32-ok: int32 compare
+
+
 def _roll_rows(v, shift: int):
     """Row rotate; Mosaic only implements rotate for 32-bit data, so
     16-bit values round-trip through fp32 (one cheap VPU pass each way).
@@ -1919,9 +1949,7 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
             term = slab(x_refs[i]) * s_ref[:] + b_ref[:]
             pre = term if pre is None else pre + term
     if relu:
-        # Mosaic (current libtpu) rejects sub-32-bit vector comparisons
-        # ("Target does not support this comparison"): compare in fp32.
-        dtm = jnp.where(pre.astype(jnp.float32) > 0, dt, 0.0)
+        dtm = relu_grad_mask(pre, dt)
     else:
         dtm = dt
 
@@ -2362,8 +2390,7 @@ def _yck_dx_kernel(*refs, n_in: int, G: int, relu: bool, out_dtype,
                 s_ref, b_ref = sb_refs[i]
                 term = x_refs[i][0][0, g] * s_ref[:] + b_ref[:]
                 pre = term if pre is None else pre + term
-            # Mosaic rejects sub-32-bit vector compares: compare in fp32
-            dtm = jnp.where(pre.astype(jnp.float32) > 0, dt_l, 0.0)
+            dtm = relu_grad_mask(pre, dt_l)
         else:
             dtm = dt_l
         db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)

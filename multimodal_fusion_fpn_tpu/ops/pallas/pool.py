@@ -31,8 +31,25 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _tie_mask(x, o):
+    """``x == o`` for the max-location routing, with the compare idiom
+    selected by MMF_MASK_IDIOM (same knob and rationale as
+    fused_conv.relu_grad_mask — round-5 on-chip finding: float vector
+    compares on bf16-upcast operands silently mis-lower on current
+    Mosaic).  Default: signed-int32 equality of the fp32 bit patterns,
+    with +0/-0 normalized by adding 0.0 (no NaNs in activations)."""
+    xf = x.astype(jnp.float32)
+    of = o.astype(jnp.float32)
+    if os.environ.get("MMF_MASK_IDIOM", "bitcast") == "f32":
+        return xf == of
+    bx = lax.bitcast_convert_type(xf + 0.0, jnp.int32)
+    bo = lax.bitcast_convert_type(of + 0.0, jnp.int32)
+    return bx == bo  # mosaic-f32-ok: int32 compare
 
 
 def _zpair_max(v, bs: int, C: int):
@@ -102,9 +119,7 @@ def _bwd_row_kernel(x_ref, o_ref, g_ref, dx_ref, *, wY: int, wX: int,
         parts = []
         for dx in range(wX):
             x = xw[:, dx]
-            # Mosaic rejects sub-32-bit vector compares: compare in
-            # fp32 (`of` is o cast to fp32 above).
-            tie = x.astype(jnp.float32) == of  # mosaic-f32-ok
+            tie = _tie_mask(x, of)
             parts.append(jnp.where(tie, g, 0.0).astype(x.dtype))
         row = jnp.stack(parts, axis=1)
         dx_ref[0, dy] = row.reshape(nXo * wX, *row.shape[2:])
@@ -133,9 +148,7 @@ def _bwd_kernel(x_ref, o_ref, g_ref, dx_ref, *, bs: int, C: int,
     for dy in range(wY):
         for dx in range(wX):
             x = x_ref[0, dy, dx]
-            # Mosaic (current libtpu) rejects sub-32-bit vector
-            # comparisons: compare in fp32.
-            tie = x.astype(jnp.float32) == o.astype(jnp.float32)
+            tie = _tie_mask(x, o)
             dx_ref[0, dy, dx] = jnp.where(tie, g, 0.0).astype(x.dtype)
 
 

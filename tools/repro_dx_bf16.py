@@ -144,6 +144,9 @@ def main():
              lambda: grads_of("pallas", bf16, out_stats, False,
                               env={"MMF_G1": "0",
                                    "MMF_FUSED_STATS": "0"})),
+            ("pallas_merged_f32cmp",
+             lambda: grads_of("pallas", bf16, out_stats, True,
+                              env={"MMF_MASK_IDIOM": "f32"})),
             ("pallas_fp32",
              lambda: grads_of("pallas", f32, out_stats, True)),
         ]
