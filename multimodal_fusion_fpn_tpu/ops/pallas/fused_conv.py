@@ -296,14 +296,39 @@ def _roll_rows(v, shift: int):
     return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
 
 
-def _g1_G(Y: int) -> int:
+def _slab_cap(cap: int, RX: int, CC: int, itemsize: int) -> int:
+    """Shrink a row-group cap so ONE (G, RX, CC) slab stays under
+    MMF_SLAB_MB (default 4 MB).
+
+    The multi-row kernels (MMF_G1 / MMF_YCHUNK) hold several such slabs
+    at once — x, g [, y] in, dx out — and Mosaic double-buffers each
+    for grid pipelining.  At the flagship stage-1 TRAIN shapes
+    (RX = 128*62 = 7936, CC = 128) a G=8 slab is 16 MB, so the merged
+    backward's working set blows past VMEM: the small-shape triage
+    compiles every kernel while the full-shape step is rejected
+    (BENCH_r04's `tpu_compile_helper exit 1` signature).  Capping by
+    slab bytes keeps G=8 on the small stages (where per-step overhead
+    actually hurts) and degrades gracefully to per-row at stage 1/2."""
+    try:
+        budget = float(os.environ.get("MMF_SLAB_MB", "4")) * 2 ** 20
+    except ValueError:
+        budget = 4 * 2 ** 20
+    per_row = RX * CC * itemsize
+    while cap > 1 and cap * per_row > budget:
+        cap //= 2
+    return cap
+
+
+def _g1_G(Y: int, RX: int, CC: int, itemsize: int = 2) -> int:
     """Rows-per-grid-step for the kY==1 kernels: largest G in {8, 4, 2}
     dividing Y, capped by MMF_G1 (unset = 8; "0"/"1" disables — the
-    on-chip A/B escape hatch, tools/onchip_r4.py)."""
+    on-chip A/B escape hatch, tools/onchip_r4.py) and by the
+    MMF_SLAB_MB VMEM budget (see _slab_cap)."""
     try:
         cap = int(os.environ.get("MMF_G1", "8"))
     except ValueError:
         cap = 8
+    cap = _slab_cap(cap, RX, CC, itemsize)
     for g in (8, 4, 2):
         if g <= cap and Y % g == 0:
             return g
@@ -497,7 +522,7 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
     if kY == 3 and kX == 1 and wplus is None and not dyn_valid_in:
         # (3,1,1) convs: the Y-chunked kernel reads (1+2/G)x instead of
         # 3x of the input (PERF.md roadmap 2).
-        G = _ychunk_G(Y)
+        G = _ychunk_G(Y, RX, max(CC, band.shape[-1]), dt.itemsize)
         if G:
             return _fused_conv_pallas_yck(
                 xs, scales, biases, band, G, X, nb, bs, relu,
@@ -506,7 +531,8 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
 
     # kY==1 (the (1,3,3)/(1,1,3) convs — 4 of 5 stage convs + the
     # cascades): G consecutive Y rows per grid step (MMF_G1, default 8).
-    G1 = _g1_G(Y) if kY == 1 else 1
+    G1 = _g1_G(Y, RX, max(CC, band.shape[-1]),
+               dt.itemsize) if kY == 1 else 1
 
     ops = []
     in_specs = []
@@ -786,7 +812,10 @@ def _fused_bwd_impl(cfg, res, g, stats_cot=None):
     merged = (use_pallas
               and os.environ.get("MMF_MERGED_BWD", "1") != "0"
               and (kY == 1 or (kY == 3 and kX == 1 and wplus is None
-                               and _ychunk_G(xs[0].shape[1]) > 0)))
+                               and _ychunk_G(
+                                   xs[0].shape[1], xs[0].shape[2],
+                                   max(xs[0].shape[3], g.shape[-1]),
+                                   xs[0].dtype.itemsize) > 0)))
 
     bandT, wplusT, wminusT = _mats_T(band, wplus, wminus)
     dband_k = dwplus_k = dwminus_k = None
@@ -1410,7 +1439,8 @@ def fused_chain_eval(x, s_in, b_in, relu0, convs, final, ds, X: int,
         return out.astype(pet)
 
     halo = 1 if 3 in kYs else 0
-    G = _ychunk_G(Y) or 1
+    wide = max([CC] + [m[0].shape[-1] for m in mats])
+    G = _ychunk_G(Y, RX, wide, dt.itemsize) or 1
     assert Y % G == 0, (Y, G)  # _ychunk_G only returns divisors of Y
 
     ops = [x]
@@ -1746,7 +1776,7 @@ def _dband_pallas(xs, scales, biases, g, kY: int, kX: int,
 
     if (kY == 3 and kX == 1 and not want_wrap and stats_cot is None):
         # (3,1,1) dband: chunk the kY x-slab reads (3x -> 1+2/G).
-        G = _ychunk_G(Y)
+        G = _ychunk_G(Y, RX, max(CC, CCo), dt.itemsize)
         if G:
             return _dband_pallas_yck(xs, scales, biases, g, G, relu,
                                      interpret)
@@ -2015,13 +2045,13 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
     if (kY == 3 and kX == 1 and wplusT is None
             and stats_cot is None):
         # (3,1,1) backward: chunk the kY g-slab reads (3x -> 1+2/G).
-        G = _ychunk_G(Y)
+        G = _ychunk_G(Y, RX, max(CC, CCg), dt.itemsize)
         if G:
             return _dx_pallas_yck(xs, scales, biases, g, bandT, G,
                                   relu, interpret, want_band=want_band)
     assert not want_band or kY == 1, (kY, "merged dx+dband needs the "
                                       "single-g-slab form")
-    G1 = _g1_G(Y) if kY == 1 else 1
+    G1 = _g1_G(Y, RX, max(CC, CCg), dt.itemsize) if kY == 1 else 1
 
     ops = []
     in_specs = []
@@ -2131,13 +2161,17 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
 # the per-row kernel's, only the read pattern changes.  MMF_YCHUNK=0
 # reverts to the per-row kernels (on-chip A/B in tools/onchip_r4.py).
 
-def _ychunk_G(Y: int) -> int:
+def _ychunk_G(Y: int, RX: int = 0, CC: int = 0,
+              itemsize: int = 2) -> int:
     """Largest G in {8, 4, 2} dividing Y, capped by MMF_YCHUNK
-    (unset = 8; "0"/"1" disables)."""
+    (unset = 8; "0"/"1" disables) and — when the slab shape is given —
+    by the MMF_SLAB_MB VMEM budget (see _slab_cap)."""
     try:
         cap = int(os.environ.get("MMF_YCHUNK", "8"))
     except ValueError:
         cap = 8
+    if RX and CC:
+        cap = _slab_cap(cap, RX, CC, itemsize)
     for g in (8, 4, 2):
         if g <= cap and Y % g == 0:
             return g

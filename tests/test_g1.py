@@ -213,3 +213,30 @@ def test_g1_odd_Y_falls_back(monkeypatch):
     aux_p, g_p = _grads(xs, scales, biases, w)
     _, g_ref = _grads(xs, scales, biases, w, impl="ref")
     _assert_tree_close(g_p, g_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_slab_cap_limits_G_at_full_shapes():
+    """Round-5: at flagship stage-1 TRAIN shapes a G=8 slab is 16 MB —
+    the multi-row kernels' working set blew past VMEM and the full-step
+    bf16 compile was rejected (BENCH_r04 signature) while small-shape
+    triage compiled.  The MMF_SLAB_MB budget must cap G there and leave
+    small stages at G=8."""
+    import os
+    from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
+        _g1_G, _ychunk_G)
+    for k in ("MMF_G1", "MMF_YCHUNK", "MMF_SLAB_MB"):
+        assert k not in os.environ, k
+    # stage-1 flagship: RX = 128*62 = 7936, CC = 128, bf16
+    assert _g1_G(32, 7936, 128, 2) == 2
+    assert _ychunk_G(32, 7936, 128, 2) == 2
+    # small stage: unaffected
+    assert _g1_G(32, 64, 64, 2) == 8
+    assert _ychunk_G(32, 64, 64, 2) == 8
+    # env budget override widens the cap
+    os.environ["MMF_SLAB_MB"] = "64"
+    try:
+        assert _g1_G(32, 7936, 128, 2) == 8
+    finally:
+        del os.environ["MMF_SLAB_MB"]
+    # ychunk without shape info keeps the legacy behavior
+    assert _ychunk_G(32) == 8
