@@ -78,14 +78,14 @@ def _assert_tree_close(ga, gb, rtol, atol):
 
 def test_g1_selection(monkeypatch):
     monkeypatch.delenv("MMF_G1", raising=False)
-    assert fc._g1_G(496) == 8
-    assert fc._g1_G(124) == 4
-    assert fc._g1_G(62) == 2
-    assert fc._g1_G(31) == 1      # odd: per-row fallback
+    assert fc._g1_G(496, 64, 64) == 8
+    assert fc._g1_G(124, 64, 64) == 4
+    assert fc._g1_G(62, 64, 64) == 2
+    assert fc._g1_G(31, 64, 64) == 1      # odd: per-row fallback
     monkeypatch.setenv("MMF_G1", "4")
-    assert fc._g1_G(496) == 4
+    assert fc._g1_G(496, 64, 64) == 4
     monkeypatch.setenv("MMF_G1", "0")
-    assert fc._g1_G(496) == 1
+    assert fc._g1_G(496, 64, 64) == 1
 
 
 @pytest.mark.parametrize("kshape", [(1, 3, 3), (1, 1, 3), (1, 1, 1)])
@@ -97,7 +97,7 @@ def test_g1_parity(monkeypatch, kshape, Y, n_in, relu):
     xs, scales, biases, w = _mk(Y, 4, 4, jnp.float32, kshape=kshape,
                                 n_in=n_in, seed=Y + n_in)
     monkeypatch.setenv("MMF_G1", "8")
-    assert fc._g1_G(Y) >= 2
+    assert fc._g1_G(Y, 64, 64) >= 2
     aux_g, g_g = _grads(xs, scales, biases, w, relu=relu)
     monkeypatch.setenv("MMF_G1", "0")
     aux_r, g_r = _grads(xs, scales, biases, w, relu=relu)
@@ -188,7 +188,7 @@ def test_g1_dyn_extents(monkeypatch):
     dyn = (jnp.int32(yt), jnp.int32(xt), jnp.int32(zt))
 
     monkeypatch.setenv("MMF_G1", "8")
-    assert fc._g1_G(Y) == 8 and yt % 8 != 0  # the cut is mid-block
+    assert fc._g1_G(Y, 64, 64) == 8 and yt % 8 != 0  # the cut is mid-block
     y_g = fc.fused_conv_dyn([xp], [s], [b], w, X, nb, bs, dyn,
                             relu=True, impl="pallas")
     monkeypatch.setenv("MMF_G1", "0")
@@ -209,7 +209,7 @@ def test_g1_odd_Y_falls_back(monkeypatch):
     """Odd Y must route through the per-row kernels and stay correct."""
     xs, scales, biases, w = _mk(5, 4, 4, jnp.float32, seed=13)
     monkeypatch.setenv("MMF_G1", "8")
-    assert fc._g1_G(5) == 1
+    assert fc._g1_G(5, 64, 64) == 1
     aux_p, g_p = _grads(xs, scales, biases, w)
     _, g_ref = _grads(xs, scales, biases, w, impl="ref")
     _assert_tree_close(g_p, g_ref, rtol=1e-4, atol=1e-4)
