@@ -50,6 +50,11 @@ TRAIN_PHASES = [
     # Whole-X-row pool blocks (round 4, MMF_POOL_ROW): default ON.
     ("train_b4_bf16_nopoolrow", 4, "bf16", False,
      {"MMF_FUSED_STATS": "1", "MMF_POOL_ROW": "0"}),
+    # VMEM slab budget for the multi-row kernels (round 5): default
+    # 4 MB caps G=2 at stage 1; 8 MB allows G=4 there.  16 MB ~ the
+    # uncapped round-4 shapes that were REJECTED at full scale.
+    ("train_b4_bf16_slab8", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_SLAB_MB": "8"}),
     ("train_b6_bf16_ws", 6, "bf16", False, {"MMF_FUSED_STATS": "1"}),
     ("train_b8_bf16_remat_ws", 8, "bf16", True,
      {"MMF_FUSED_STATS": "1"}),
