@@ -58,10 +58,11 @@ A100_REFERENCE_IMG_PER_SEC_ESTIMATE = 33.0
 # for the whole bench window, so an outage degrades the scoreboard to
 # "previous number + error" instead of "nothing" (round-3 lesson).
 LAST_VERIFIED = {
-    "value": 21.8, "unit": "img/s", "ms_per_step": 183.9,
+    "value": 26.04, "unit": "img/s", "ms_per_step": 153.6,
     "config": {"batch": 4, "precision": "bf16", "remat": False},
-    "provenance": "on-chip builder session, round 3 (driver artifact "
-                  "missing for r3 — tunnel outage)",
+    "provenance": "on-chip round-5 builder session "
+                  "(results/bench_r5.json: mask-idiom fix + slab cap, "
+                  "MMF_POOL_ROW off)",
 }
 
 # Error-message substrings that indicate a transient server/tunnel

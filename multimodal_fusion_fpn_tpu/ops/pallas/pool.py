@@ -77,15 +77,19 @@ def _zpair_expand(e, bs_out: int, C: int):
 
 
 def _pool_row_mode() -> bool:
-    """Whole-X-row pool blocks (MMF_POOL_ROW, default on; "0" reverts
-    to the per-window grid — the on-chip A/B escape hatch).
+    """Whole-X-row pool blocks (MMF_POOL_ROW; default OFF since round
+    5: the row kernels are the one remaining construct Mosaic REJECTS
+    at full flagship shapes — the round-5 full-step bisect isolated
+    them as the sole breaker once the multi-row conv slabs were capped
+    (results/mosaic_bisect_r5.jsonl: only off:MMF_POOL_ROW compiles,
+    26.1 img/s).  "1" opts back in for small-shape experiments.)
 
     The per-window grid runs (B, Y/wY, X/wX) steps on (nb, CC) blocks —
     ~1 KB of work per step at stage-1 sizes (63k steps for the s1
     pool).  Row mode runs (B, Y/wY) steps, each reading the full
     (wY, X, nb, CC) input row as ONE contiguous DMA and writing the
     whole pooled row."""
-    return os.environ.get("MMF_POOL_ROW", "1") != "0"
+    return os.environ.get("MMF_POOL_ROW", "0") == "1"
 
 
 def _fwd_row_kernel(x_ref, out_ref, *, wY: int, wX: int, nXo: int,

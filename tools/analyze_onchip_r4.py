@@ -44,7 +44,7 @@ AB_PHASES = [
     ("train_b4_bf16_nomerge", "MMF_MERGED_BWD"),
     ("train_b4_bf16_no2d", "MMF_FUSED_2D"),
     ("train_b4_bf16_nog1", "MMF_G1"),
-    ("train_b4_bf16_nopoolrow", "MMF_POOL_ROW"),
+    # (nopoolrow dropped round 5 — MMF_POOL_ROW default is OFF now)
 ]
 
 

@@ -47,9 +47,9 @@ TRAIN_PHASES = [
     # default ON; this phase isolates its contribution.
     ("train_b4_bf16_nog1", 4, "bf16", False,
      {"MMF_FUSED_STATS": "1", "MMF_G1": "0"}),
-    # Whole-X-row pool blocks (round 4, MMF_POOL_ROW): default ON.
-    ("train_b4_bf16_nopoolrow", 4, "bf16", False,
-     {"MMF_FUSED_STATS": "1", "MMF_POOL_ROW": "0"}),
+    # (round-5: MMF_POOL_ROW default flipped OFF — the row kernels are
+    # Mosaic-rejected at full shapes, results/mosaic_bisect_r5.jsonl —
+    # so the old nopoolrow A/B phase is the default and was dropped.)
     # VMEM slab budget for the multi-row kernels (round 5): default
     # 4 MB caps G=2 at stage 1; 8 MB allows G=4 there.  16 MB ~ the
     # uncapped round-4 shapes that were REJECTED at full scale.
