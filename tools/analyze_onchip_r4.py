@@ -92,8 +92,13 @@ def main():
     if "--env-advice" in sys.argv:
         print(" ".join(f"{k}={v}" for k, v in env_advice().items()))
         return
-    log = sys.argv[1] if len(sys.argv) > 1 else "/tmp/onchip_r4.jsonl"
-    recs = {r["phase"]: r for r in load_jsonl(log)}
+    if len(sys.argv) > 1:
+        logs = [sys.argv[1]]
+    else:
+        logs = [p for p in ONCHIP_LOGS if os.path.exists(p)]
+    recs = {}
+    for log in logs:
+        recs.update({r["phase"]: r for r in load_jsonl(log)})
     if not recs:
         print(f"no results in {log} yet")
     base = recs.get("train_b4_bf16_ws")
