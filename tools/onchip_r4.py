@@ -112,6 +112,88 @@ print("ONCHIP_RESULT " + json.dumps({
     "shape": [Y, Z, X], "enface": [EH, EW], "hd95_value": hd}))
 """
 
+# eval-cost isolation (round 5: eval_ensemble5_hd measured 5983 ms/img
+# — 20x the back-of-envelope fwd estimate; these phases decompose it):
+# 1 member vs 5 members (vmap scaling), no-HD vs HD (device-EDT cost).
+EVAL_ISO_CODE = r"""
+import json, os, time
+import numpy as np
+import jax, jax.numpy as jnp
+from multimodal_fusion_fpn_tpu.config import make_config
+from multimodal_fusion_fpn_tpu.models.zoo import build_model
+from multimodal_fusion_fpn_tpu.train.optim import sgd
+from multimodal_fusion_fpn_tpu.train.state import create_train_state
+from multimodal_fusion_fpn_tpu.train.step import (make_ensemble_eval_step,
+                                                  model_batch)
+from multimodal_fusion_fpn_tpu.eval.harness import stack_ensemble
+
+MEMBERS = int(os.environ.get("ISO_MEMBERS", "5"))
+WITH_HD = os.environ.get("ISO_HD", "0") == "1"
+HD_ONLY = os.environ.get("ISO_HD_ONLY", "0") == "1"
+PHASE = os.environ["ISO_PHASE"]
+Y, Z, X = 48, 496, 192
+EH, EW = 208, 192
+rng = np.random.default_rng(0)
+spacing = np.asarray([0.12, 0.012], np.float32)
+if HD_ONLY:
+    from multimodal_fusion_fpn_tpu.metrics.device import hausdorff_device
+    pred = jnp.asarray(rng.random((Y, X)) > 0.5)
+    gt = jnp.asarray(rng.random((Y, X)) > 0.5)
+
+    @jax.jit
+    def hd_fn(p, g, sp):
+        hd, _ = hausdorff_device(p, g, sp, connectivity=1)
+        _, hd95 = hausdorff_device(p, g, sp, connectivity=3)
+        return hd, hd95
+    out = hd_fn(pred, gt, spacing)
+    _ = float(np.asarray(out[1]))
+    n = 20
+    t0 = time.time()
+    for i in range(n):
+        out = hd_fn(pred, gt, spacing)
+        v = float(np.asarray(out[1]))
+    dt = (time.time() - t0) / n
+    print("ONCHIP_RESULT " + json.dumps({
+        "phase": PHASE, "ms_per_image": round(dt * 1000, 1),
+        "img_per_s": round(1.0 / dt, 2), "hd95": v}))
+else:
+    batch = {
+        "image": rng.normal(size=(1, 1, Y, Z, X)).astype(np.float32),
+        "slo": rng.normal(size=(1, 1, EH, 1, EW)).astype(np.float32),
+        "mask": (rng.random((1, 1, Y, 1, X)) > 0.7).astype(np.float32),
+    }
+    cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
+                      fusion_modality="slo", training_dataset="hrf_fusion")
+    model = build_model(cfg, dtype=jnp.float32, remat=False)
+    mb = model_batch(batch)
+    st = create_train_state(model, sgd(0.1), jax.random.PRNGKey(0), mb)
+    sp = stack_ensemble([st.params] * MEMBERS)
+    sb = stack_ensemble([st.batch_stats] * MEMBERS)
+    step = make_ensemble_eval_step(model, with_hd=WITH_HD)
+    dev_in = jax.device_put(mb)
+    args = (sp, sb, dev_in, spacing) if WITH_HD else (sp, sb, dev_in)
+    out = step(*args)
+    key = "__device_hd95__" if WITH_HD else "prediction"
+    _ = float(np.asarray(out[key]).ravel()[0])
+    n = 10
+    t0 = time.time()
+    for i in range(n):
+        out = step(*args)
+        v = float(np.asarray(out[key]).ravel()[0])
+    dt = (time.time() - t0) / n
+    print("ONCHIP_RESULT " + json.dumps({
+        "phase": PHASE, "ms_per_image": round(dt * 1000, 1),
+        "img_per_s": round(1.0 / dt, 2), "members": MEMBERS,
+        "with_hd": WITH_HD}))
+"""
+
+EVAL_ISO_PHASES = [
+    ("eval_iso_m1", {"ISO_MEMBERS": "1", "ISO_HD": "0"}),
+    ("eval_iso_m5", {"ISO_MEMBERS": "5", "ISO_HD": "0"}),
+    ("eval_iso_m5_hd", {"ISO_MEMBERS": "5", "ISO_HD": "1"}),
+    ("eval_iso_hdonly", {"ISO_HD_ONLY": "1"}),
+]
+
 # bucketed eval: a NON-bucket-aligned true shape padded by the harness
 # heuristic, extent-masked fused kernels active (the production
 # default path) — also the first Mosaic compile check of the dyn
@@ -229,6 +311,10 @@ def main():
             and "eval_ensemble5_hd" not in done:
         run_phase("eval_ensemble5_hd", EVAL_CODE, {}, args.timeout,
                   args.log)
+    for name, env in EVAL_ISO_PHASES:
+        if (not args.only or args.only == name) and name not in done:
+            run_phase(name, EVAL_ISO_CODE,
+                      dict(env, ISO_PHASE=name), args.timeout, args.log)
     # eval 2-conv mega-kernel A/B (MMF_FUSED_PAIR): also the first
     # Mosaic compile check of _kernel2 — if it fails, keep the default
     # off and record the error.
