@@ -130,6 +130,8 @@ from multimodal_fusion_fpn_tpu.eval.harness import stack_ensemble
 MEMBERS = int(os.environ.get("ISO_MEMBERS", "5"))
 WITH_HD = os.environ.get("ISO_HD", "0") == "1"
 HD_ONLY = os.environ.get("ISO_HD_ONLY", "0") == "1"
+DTYPE = jnp.bfloat16 if os.environ.get("ISO_DTYPE") == "bf16" \
+    else jnp.float32
 PHASE = os.environ["ISO_PHASE"]
 Y, Z, X = 48, 496, 192
 EH, EW = 208, 192
@@ -164,7 +166,7 @@ else:
     }
     cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
                       fusion_modality="slo", training_dataset="hrf_fusion")
-    model = build_model(cfg, dtype=jnp.float32, remat=False)
+    model = build_model(cfg, dtype=DTYPE, remat=False)
     mb = model_batch(batch)
     st = create_train_state(model, sgd(0.1), jax.random.PRNGKey(0), mb)
     sp = stack_ensemble([st.params] * MEMBERS)
@@ -192,6 +194,10 @@ EVAL_ISO_PHASES = [
     ("eval_iso_m5", {"ISO_MEMBERS": "5", "ISO_HD": "0"}),
     ("eval_iso_m5_hd", {"ISO_MEMBERS": "5", "ISO_HD": "1"}),
     ("eval_iso_hdonly", {"ISO_HD_ONLY": "1"}),
+    ("eval_iso_m1_bf16", {"ISO_MEMBERS": "1", "ISO_HD": "0",
+                          "ISO_DTYPE": "bf16"}),
+    ("eval_iso_m5_bf16", {"ISO_MEMBERS": "5", "ISO_HD": "0",
+                          "ISO_DTYPE": "bf16"}),
 ]
 
 # bucketed eval: a NON-bucket-aligned true shape padded by the harness
