@@ -94,6 +94,23 @@ def _pool_row_mode() -> bool:
     return os.environ.get("MMF_POOL_ROW", "0") == "1"
 
 
+def _pool_rowk(nXo: int) -> int:
+    """K-window CHUNKED row mode (MMF_POOL_ROWK=K, opt-in, 0 = off):
+    the middle ground after round 5 rejected the full-row kernels at
+    flagship shapes — grid (B, Y/wY, nXo/K) steps, each processing K
+    pooled columns from one contiguous (wY, K*wX, nb, CC) block via the
+    SAME row-kernel body at bounded extent.  Returns the largest
+    divisor of ``nXo`` in {16, 8, 4, 2} capped by the env value."""
+    try:
+        cap = int(os.environ.get("MMF_POOL_ROWK", "0") or 0)
+    except ValueError:
+        cap = 0
+    for k in (16, 8, 4, 2):
+        if k <= cap and nXo % k == 0:
+            return k
+    return 0
+
+
 def _fwd_row_kernel(x_ref, out_ref, *, wY: int, wX: int, nXo: int,
                     bs: int, C: int, wZ: int):
     # x_ref: (1, wY, X, nb, CC); out_ref: (1, 1, nXo, nb, CCo)
@@ -234,6 +251,23 @@ def _pool_fwd_impl(xp, X, nb, bs, window, interpret=None):
             interpret=interpret,
         )(x5)
         return out.reshape(B, Y // wY, (X // wX) * nb, CCo)
+    K = _pool_rowk(X // wX)
+    if K:
+        kern = functools.partial(_fwd_row_kernel, wY=wY, wX=wX,
+                                 nXo=K, bs=bs, C=C, wZ=wZ)
+        out = pl.pallas_call(
+            kern,
+            grid=(B, Y // wY, (X // wX) // K),
+            in_specs=[pl.BlockSpec((1, wY, K * wX, nb, CC),
+                                   lambda b, y, x: (b, y, x, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, K, nb, CCo),
+                                   lambda b, y, x: (b, y, x, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x5)
+        return out.reshape(B, Y // wY, (X // wX) * nb, CCo)
     kern = functools.partial(_fwd_kernel, n_in=n_in, bs=bs, C=C, wZ=wZ)
     out = pl.pallas_call(
         kern,
@@ -277,6 +311,25 @@ def _pool_vjp_bwd(X, nb, bs, window, interpret, res, g):
         dx = pl.pallas_call(
             kern,
             grid=(B, Y // wY),
+            in_specs=[x_spec, o_spec, o_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x5.shape, xp.dtype),
+            interpret=interpret,
+        )(x5, o5, g5)
+        return (dx.reshape(xp.shape),)
+    K = _pool_rowk(X // wX)
+    if K:
+        kern = functools.partial(_bwd_row_kernel, wY=wY, wX=wX,
+                                 nXo=K, bs=bs, C=C, wZ=wZ)
+        x_spec = pl.BlockSpec((1, wY, K * wX, nb, CC),
+                              lambda b, y, x: (b, y, x, 0, 0),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((1, 1, K, nb, CCo),
+                              lambda b, y, x: (b, y, x, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dx = pl.pallas_call(
+            kern,
+            grid=(B, Y // wY, (X // wX) // K),
             in_specs=[x_spec, o_spec, o_spec],
             out_specs=x_spec,
             out_shape=jax.ShapeDtypeStruct(x5.shape, xp.dtype),

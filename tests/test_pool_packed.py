@@ -72,3 +72,30 @@ def test_pool_row_mode_matches_per_window(monkeypatch, win):
     o_win, g_win = run()
     np.testing.assert_array_equal(o_row, o_win)
     np.testing.assert_array_equal(g_row, g_win)
+
+
+@pytest.mark.parametrize("win", [(1, 2, 2), (2, 2, 2)])
+@pytest.mark.parametrize("K", [2, 4])
+def test_pool_rowk_matches_per_window(monkeypatch, win, K):
+    """MMF_POOL_ROWK (K-window chunked rows, round-5 opt-in middle
+    ground after the full-row kernels were Mosaic-rejected at flagship
+    shapes) vs the per-window grid: bit-identical fwd + cotangent."""
+    rng = np.random.default_rng(5)
+    B, Y, X, Z, C, bs = 2, 4, 16, 32, 3, 8
+    x = jnp.asarray(rng.normal(size=(B, Y, X, Z, C)).astype(np.float32))
+    xp = pack(x, bs)
+    nb = Z // bs
+
+    def run():
+        out = pool_packed(xp, X, nb, bs, win)
+        g = jax.grad(lambda xp: jnp.sum(
+            pool_packed(xp, X, nb, bs, win) ** 2))(xp)
+        return np.asarray(out), np.asarray(g)
+
+    monkeypatch.setenv("MMF_POOL_ROWK", str(K))
+    monkeypatch.delenv("MMF_POOL_ROW", raising=False)
+    o_k, g_k = run()
+    monkeypatch.setenv("MMF_POOL_ROWK", "0")
+    o_win, g_win = run()
+    np.testing.assert_array_equal(o_k, o_win)
+    np.testing.assert_array_equal(g_k, g_win)

@@ -50,6 +50,10 @@ TRAIN_PHASES = [
     # (round-5: MMF_POOL_ROW default flipped OFF — the row kernels are
     # Mosaic-rejected at full shapes, results/mosaic_bisect_r5.jsonl —
     # so the old nopoolrow A/B phase is the default and was dropped.)
+    # K-window CHUNKED rows (round-5 middle ground): first Mosaic
+    # compile check at full shapes + A/B vs the per-window default.
+    ("train_b4_bf16_rowk8", 4, "bf16", False,
+     {"MMF_FUSED_STATS": "1", "MMF_POOL_ROWK": "8"}),
     # VMEM slab budget for the multi-row kernels (round 5): default
     # 4 MB caps G=2 at stage 1; 8 MB allows G=4 there.  16 MB ~ the
     # uncapped round-4 shapes that were REJECTED at full scale.
