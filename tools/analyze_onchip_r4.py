@@ -85,6 +85,15 @@ def env_advice(log=None, margin_ms=1.0, broken_file=BROKEN_FILE):
                     and r["ms_per_step"] < base["ms_per_step"]
                     - margin_ms):
                 out[flag] = "0"
+        # opt-in features: advice turns them ON when their phase BEATS
+        # the default baseline (round 5: K-chunked pool rows)
+        for phase, flag, value in (
+                ("train_b4_bf16_rowk8", "MMF_POOL_ROWK", "8"),):
+            r = recs.get(phase)
+            if (r and "ms_per_step" in r
+                    and r["ms_per_step"] < base["ms_per_step"]
+                    - margin_ms):
+                out[flag] = value
     return out
 
 
