@@ -54,11 +54,9 @@ TRAIN_PHASES = [
     # compile check at full shapes + A/B vs the per-window default.
     ("train_b4_bf16_rowk8", 4, "bf16", False,
      {"MMF_FUSED_STATS": "1", "MMF_POOL_ROWK": "8"}),
-    # VMEM slab budget for the multi-row kernels (round 5): default
-    # 4 MB caps G=2 at stage 1; 8 MB allows G=4 there.  16 MB ~ the
-    # uncapped round-4 shapes that were REJECTED at full scale.
-    ("train_b4_bf16_slab8", 4, "bf16", False,
-     {"MMF_FUSED_STATS": "1", "MMF_SLAB_MB": "8"}),
+    # (round-5: the MMF_SLAB_MB=8 probe was compile-REJECTED on chip —
+    # G=4 8 MB slabs are over the boundary; 4 MB/G=2 is the widest
+    # compiling config.  Evidence: results/stage_ab.log.)
     ("train_b6_bf16_ws", 6, "bf16", False, {"MMF_FUSED_STATS": "1"}),
     ("train_b8_bf16_remat_ws", 8, "bf16", True,
      {"MMF_FUSED_STATS": "1"}),
@@ -307,6 +305,14 @@ def main():
     args = ap.parse_args()
 
     done = set() if args.redo else done_phases(args.log)
+    failed = []
+
+    def run_phase(name, code, env_extra, timeout, log,
+                  _rp=run_phase):
+        ok = _rp(name, code, env_extra, timeout, log)
+        if not ok:
+            failed.append(name)
+        return ok
     for name, B, prec, remat, env in TRAIN_PHASES:
         if args.only and args.only != name:
             continue
@@ -357,6 +363,12 @@ def main():
         run_phase("eval_bucketed_dyn_chain", code,
                   {"MMF_FUSED_CHAIN": "1"}, args.timeout, args.log)
     print(f"# results in {args.log}")
+    if failed:
+        # nonzero so a staged watcher retries the batch on the
+        # next tunnel window instead of marking it done with
+        # phases missing (round-5 outage lesson)
+        print(f"# FAILED phases: {failed}", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
