@@ -306,10 +306,10 @@ def main():
 
     done = set() if args.redo else done_phases(args.log)
     failed = []
+    _run_phase_impl = globals()['run_phase']
 
-    def run_phase(name, code, env_extra, timeout, log,
-                  _rp=run_phase):
-        ok = _rp(name, code, env_extra, timeout, log)
+    def run_phase(name, code, env_extra, timeout, log):
+        ok = _run_phase_impl(name, code, env_extra, timeout, log)
         if not ok:
             failed.append(name)
         return ok
