@@ -62,7 +62,12 @@ def main():
     geo = {"tiny": (2, 4, 8, 64, 8, 8),      # B Y X Z C bs
            "1": (2, 8, 32, 124, 16, 4),
            "2": (1, 8, 64, 248, 32, 8),
-           "3": (1, 8, 32, 124, 64, 4)}
+           "3": (1, 8, 32, 124, 64, 4),
+           # the REAL flagship train shapes (RX = X*nb = 7936): the
+           # full-step bf16 compile is rejected while every kernel
+           # passes at the shapes above — per-kernel compiles at this
+           # scale name the culprit (round-5 bisect support)
+           "s1full": (4, 32, 128, 496, 16, 8)}
     B, Y, X, Z, C, bs = geo[args.stage]
     nb = Z // bs
     rng = np.random.default_rng(7)
