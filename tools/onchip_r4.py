@@ -130,6 +130,7 @@ from multimodal_fusion_fpn_tpu.train.step import (make_ensemble_eval_step,
 from multimodal_fusion_fpn_tpu.eval.harness import stack_ensemble
 
 MEMBERS = int(os.environ.get("ISO_MEMBERS", "5"))
+BATCH = int(os.environ.get("ISO_BATCH", "1"))
 WITH_HD = os.environ.get("ISO_HD", "0") == "1"
 HD_ONLY = os.environ.get("ISO_HD_ONLY", "0") == "1"
 DTYPE = jnp.bfloat16 if os.environ.get("ISO_DTYPE") == "bf16" \
@@ -162,9 +163,10 @@ if HD_ONLY:
         "img_per_s": round(1.0 / dt, 2), "hd95": v}))
 else:
     batch = {
-        "image": rng.normal(size=(1, 1, Y, Z, X)).astype(np.float32),
-        "slo": rng.normal(size=(1, 1, EH, 1, EW)).astype(np.float32),
-        "mask": (rng.random((1, 1, Y, 1, X)) > 0.7).astype(np.float32),
+        "image": rng.normal(size=(BATCH, 1, Y, Z, X)).astype(np.float32),
+        "slo": rng.normal(size=(BATCH, 1, EH, 1, EW)).astype(np.float32),
+        "mask": (rng.random((BATCH, 1, Y, 1, X)) > 0.7)
+        .astype(np.float32),
     }
     cfg = make_config(model="FPNHybridFusion", crop="relative_2d_max",
                       fusion_modality="slo", training_dataset="hrf_fusion")
@@ -184,11 +186,11 @@ else:
     for i in range(n):
         out = step(*args)
         v = float(np.asarray(out[key]).ravel()[0])
-    dt = (time.time() - t0) / n
+    dt = (time.time() - t0) / n / BATCH
     print("ONCHIP_RESULT " + json.dumps({
         "phase": PHASE, "ms_per_image": round(dt * 1000, 1),
         "img_per_s": round(1.0 / dt, 2), "members": MEMBERS,
-        "with_hd": WITH_HD}))
+        "batch": BATCH, "with_hd": WITH_HD}))
 """
 
 EVAL_ISO_PHASES = [
@@ -200,6 +202,11 @@ EVAL_ISO_PHASES = [
                           "ISO_DTYPE": "bf16"}),
     ("eval_iso_m5_bf16", {"ISO_MEMBERS": "5", "ISO_HD": "0",
                           "ISO_DTYPE": "bf16"}),
+    # B=4 volumes per dispatch: is the slowdown B=1-specific?
+    ("eval_iso_m5_b4", {"ISO_MEMBERS": "5", "ISO_HD": "0",
+                        "ISO_BATCH": "4"}),
+    ("eval_iso_m5_b4_bf16", {"ISO_MEMBERS": "5", "ISO_HD": "0",
+                             "ISO_BATCH": "4", "ISO_DTYPE": "bf16"}),
 ]
 
 # bucketed eval: a NON-bucket-aligned true shape padded by the harness
