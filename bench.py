@@ -110,8 +110,10 @@ def _compile_rejection_sig(exc: Exception):
         return None
     if _SERVER_RE is None:
         import re
-        _SERVER_RE = re.compile(r"https?://[\w.\-]+:\d+")
-    return _SERVER_RE.sub("<server>", msg)[:500]
+        _SERVER_RE = (re.compile(r"https?://[\w.\-]+:\d+"),
+                      re.compile(r"\d{4}-\d{2}-\d{2}T[\d:.]+Z"))
+    msg = _SERVER_RE[0].sub("<server>", msg)
+    return _SERVER_RE[1].sub("<t>", msg)[:500]
 
 
 # The round-4 kernel features are default-ON but individually
@@ -268,13 +270,22 @@ def _run_config_subprocess(B, prec, remat, timeout_s):
             f"child timeout after {timeout_s:.0f}s (backend-init hang "
             f"or slow remote compile); treating as timed out")
     sys.stderr.write(proc.stderr[-4000:] if proc.stderr else "")
+    # The axon terminal's compile ERROR line carries the REAL failure
+    # (e.g. round-5: "Ran out of memory in memory space vmem ... Scoped
+    # allocation with size 123.86M and limit 110.00M") — the HTTP 500
+    # the client raises is opaque without it.  Scrape it into the error.
+    diag = ""
+    for sl in (proc.stderr or "").splitlines():
+        if "ERROR" in sl and ("compile" in sl or "vmem" in sl):
+            diag = " | server: " + sl[-400:]
+            break
     for line in (proc.stdout or "").splitlines():
         if line.startswith(_RESULT_TAG):
             res = json.loads(line[len(_RESULT_TAG):])
             return res["img_s"], res["dt"]
         if line.startswith(_ERROR_TAG):
             err = json.loads(line[len(_ERROR_TAG):])
-            raise RuntimeError(err["error"])
+            raise RuntimeError(err["error"] + diag)
     raise RuntimeError(
         f"child exited rc={proc.returncode} without a result line; "
         f"stdout tail: {(proc.stdout or '')[-500:]!r}")
