@@ -190,9 +190,18 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
                             noise: Optional[str] = None,
                             debug_images: bool = False,
                             noise_seed: int = 1234,
-                            shape_bucket: int = 0):
+                            shape_bucket: int = 0,
+                            eval_batch: int = 1):
     """Evaluate the ensemble defined by ``member_trees`` (list of
-    {'params':..., 'batch_stats':...}) over the validation ids."""
+    {'params':..., 'batch_stats':...}) over the validation ids.
+
+    ``eval_batch`` > 1 groups images of IDENTICAL true shape into one
+    dispatch (round-5 on-chip isolation: B=4 + bf16 runs the 5-member
+    whole-volume ensemble ~6x faster per image than B=1 fp32 —
+    results/onchip_r5.jsonl eval_iso_*).  Only same-true-shape images
+    share a dispatch: the exact-bucketing extents are per-dispatch
+    scalars, so mixing extents would break bit-exactness.  Metrics,
+    artifacts and CSV rows stay per-image and order-preserving."""
     loader = create_val_dataloader(opt, val_ids, data_transform_val)
 
     stacked_params = stack_ensemble([t["params"] for t in member_trees])
@@ -216,28 +225,8 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
         Path(join(output_path, "__images")).mkdir(parents=True,
                                                   exist_ok=True)
 
-    for batch in loader:
-        if noise_fn is not None:
-            batch[modality_to_noise] = noise_fn(batch[modality_to_noise])
-
-        model_in = model_batch(batch)
-        if shape_bucket:
-            # metrics run against the (never padded) mask, so its shape
-            # is the true prediction extent; fall back to the volume's
-            # for mask-less batches.  (The image key alone is wrong for
-            # comp-only configs, where it is Disabled to a singleton.)
-            ref_arr = batch.get("mask", batch.get("image"))
-            true_yx = (ref_arr.shape[2], ref_arr.shape[4])
-            model_in = _bucket_pad(model_in, shape_bucket)
-        if use_hd_device:
-            sp = (np.asarray(batch["spacing"][0],
-                             np.float32)[[0, 2]]
-                  if "spacing" in batch else np.ones(2, np.float32))
-            output = ensemble_step(stacked_params, stacked_bs, model_in,
-                                   sp)
-        else:
-            output = ensemble_step(stacked_params, stacked_bs, model_in)
-        output = {k: np.asarray(v) for k, v in output.items()}
+    def _emit(batch, output, true_yx):
+        """Per-image tail: crop to the true extent, artifacts, metrics."""
         if shape_bucket and output["prediction"].ndim == 5:
             output["prediction"] = \
                 output["prediction"][:, :, :true_yx[0], :, :true_yx[1]]
@@ -254,6 +243,68 @@ def run_evaluation_instance(opt, all_outputs, val_ids, data_transform_val,
 
         compute_metrics(all_outputs, output, batch, metrics_val, results,
                         results_dict, output_path, opt.save_data)
+
+    pending = []  # (batch, model_in, true_yx, spacing) awaiting dispatch
+
+    def _flush():
+        if not pending:
+            return
+        # __valid_*__ extents are per-DISPATCH (identical within a
+        # group by the same-true-shape key) — never concatenated
+        group = {k: pending[0][1][k] if k.startswith("__valid_")
+                 or getattr(pending[0][1][k], "ndim", 0) < 1
+                 else np.concatenate([p[1][k] for p in pending], axis=0)
+                 for k in pending[0][1]}
+        if use_hd_device:
+            sps = np.stack([p[3] for p in pending])
+            out = ensemble_step(stacked_params, stacked_bs, group,
+                                sps if len(pending) > 1 else sps[0])
+        else:
+            out = ensemble_step(stacked_params, stacked_bs, group)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        nb_ = len(pending)
+        for i, (batch, _mi, true_yx, _sp) in enumerate(pending):
+            per = {}
+            for k, v in out.items():
+                if k in ("__device_hd__", "__device_hd95__"):
+                    per[k] = v if v.ndim == 0 else v[i]
+                elif getattr(v, "ndim", 0) >= 1 and v.shape[0] == nb_:
+                    per[k] = v[i:i + 1]
+                else:
+                    per[k] = v
+            _emit(batch, per, true_yx)
+        pending.clear()
+
+    group_key = None
+    for batch in loader:
+        if noise_fn is not None:
+            batch[modality_to_noise] = noise_fn(batch[modality_to_noise])
+
+        model_in = model_batch(batch)
+        true_yx = None
+        if shape_bucket:
+            # metrics run against the (never padded) mask, so its shape
+            # is the true prediction extent; fall back to the volume's
+            # for mask-less batches.  (The image key alone is wrong for
+            # comp-only configs, where it is Disabled to a singleton.)
+            ref_arr = batch.get("mask", batch.get("image"))
+            true_yx = (ref_arr.shape[2], ref_arr.shape[4])
+            model_in = _bucket_pad(model_in, shape_bucket)
+        sp = (np.asarray(batch["spacing"][0], np.float32)[[0, 2]]
+              if "spacing" in batch else np.ones(2, np.float32))
+
+        # only identical TRUE shapes share a dispatch (the dynamic
+        # extents are per-dispatch scalars)
+        key = tuple(sorted(
+            (k, tuple(np.shape(v))) for k, v in batch.items()
+            if isinstance(v, np.ndarray)))
+        if pending and (key != group_key or len(pending) >= eval_batch):
+            _flush()
+        group_key = key
+        pending.append((batch, model_in, true_yx, sp))
+        if len(pending) >= max(1, eval_batch):
+            _flush()
+    _flush()
 
 
 def get_final_results_only(output_path, metrics_val, df_results):

@@ -175,17 +175,28 @@ def make_ensemble_eval_step(model, with_hd: bool = False) -> Callable:
 
     from multimodal_fusion_fpn_tpu.metrics.device import hausdorff_device
 
+    def _hd_pair(pred2d, gt2d, sp):
+        # the reference pair: HD at connectivity 1, HD95 at 3
+        # (common/metrics.py:402,449)
+        hd, _ = hausdorff_device(pred2d, gt2d, sp, connectivity=1)
+        _, hd95 = hausdorff_device(pred2d, gt2d, sp, connectivity=3)
+        return hd, hd95
+
     @jax.jit
     def ensemble_step_hd(stacked_params, stacked_batch_stats, batch,
                          spacing):
+        """``spacing``: (2,) for the classic per-image call, or (B, 2)
+        for volume-batched eval (round 5: B=4 + bf16 measured ~6x the
+        per-image ensemble throughput) — HD runs per sample either way
+        and '__device_hd__'/'__device_hd95__' are scalars or (B,)."""
         outs = vmapped(stacked_params, stacked_batch_stats, batch)
         outs = jax.tree.map(lambda x: jnp.mean(x, axis=0), outs)
-        pred = outs["prediction"][0, 0, :, 0, :] > 0.5
-        gt = batch["mask"][0, 0, :, 0, :] > 0.5
-        # the reference pair: HD at connectivity 1, HD95 at 3
-        # (common/metrics.py:402,449)
-        hd, _ = hausdorff_device(pred, gt, spacing, connectivity=1)
-        _, hd95 = hausdorff_device(pred, gt, spacing, connectivity=3)
+        pred = outs["prediction"][:, 0, :, 0, :] > 0.5
+        gt = batch["mask"][:, 0, :, 0, :] > 0.5
+        if spacing.ndim == 1:
+            hd, hd95 = _hd_pair(pred[0], gt[0], spacing)
+        else:
+            hd, hd95 = jax.vmap(_hd_pair)(pred, gt, spacing)
         outs["__device_hd__"] = hd
         outs["__device_hd95__"] = hd95
         return outs

@@ -123,7 +123,7 @@ def test_harness_bucketing_exact_end_to_end(tmp_path, tiny_spec):
                             example)
     members = [{"params": st.params, "batch_stats": st.batch_stats}]
 
-    def run(bucket, outdir):
+    def run(bucket, outdir, eval_batch=1):
         metrics = {"Dice": M.Dice(output_key="prediction",
                                   target_key="mask", slice=0),
                    "BCE": M.BCE(output_key="prediction",
@@ -133,21 +133,29 @@ def test_harness_bucketing_exact_end_to_end(tmp_path, tiny_spec):
         run_evaluation_instance(
             opt, all_outputs, val_ids, transform_val, model, members,
             metrics, results, rd, str(tmp_path / outdir),
-            shape_bucket=bucket)
+            shape_bucket=bucket, eval_batch=eval_batch)
         return results
 
     rows_exact = run(0, "out0")
     rows_bucket = run(64, "out64")
+    # round 5: volume-batched dispatch (same-true-shape grouping) must
+    # be metric-identical and order-preserving vs the per-image loop
+    rows_batched = run(64, "out64b", eval_batch=2)
     assert rows_exact and len(rows_exact) == len(rows_bucket)
-    for re_, rb in zip(rows_exact, rows_bucket):
-        assert re_.keys() == rb.keys()
+    assert len(rows_batched) == len(rows_exact)
+    for re_, rb, rb2 in zip(rows_exact, rows_bucket, rows_batched):
+        assert re_.keys() == rb.keys() == rb2.keys()
         for metric, v in re_.items():
             if isinstance(v, str):
                 assert rb[metric] == v
+                assert rb2[metric] == v
                 continue
             np.testing.assert_allclose(
                 rb[metric], v, rtol=1e-5, atol=1e-6,
                 err_msg=f"{re_['FileSetId']}/{metric}")
+            np.testing.assert_allclose(
+                rb2[metric], rb[metric], rtol=1e-6, atol=1e-7,
+                err_msg=f"batched {re_['FileSetId']}/{metric}")
 
 
 @pytest.mark.parametrize("name", ["FPN", "FPNHybridFusion"])

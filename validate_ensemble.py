@@ -69,6 +69,13 @@ def extend_parser(parser):
              "prediction bit-for-bit on the valid region "
              "(tests/test_exact_bucketing.py, incl. an end-to-end "
              "harness check).  Default 64 since round 4.")
+    parser.add_argument(
+        "--eval-batch", type=int, default=1,
+        help="Group images of identical true shape into one ensemble "
+             "dispatch (per-image metrics/artifacts unchanged).  "
+             "Round-5 on-chip isolation: 4 with --precision bf16 runs "
+             "the 5-member whole-volume ensemble ~6x faster per image "
+             "than the per-image fp32 loop.")
     return parser
 
 
@@ -203,7 +210,8 @@ def run(argv=None):
         opt, all_outputs, val_ids, data_transform_val, model, member_trees,
         opt.metrics_val, results, results_dict, output_path,
         noise=args.noise, debug_images=args.debug_images, noise_seed=seed,
-        shape_bucket=args.eval_shape_bucket)
+        shape_bucket=args.eval_shape_bucket,
+        eval_batch=args.eval_batch)
 
     get_mean_results(opt, all_outputs, results, results_dict, output_path)
 
