@@ -95,16 +95,19 @@ def _pool_row_mode() -> bool:
 
 
 def _pool_rowk(nXo: int) -> int:
-    """K-window CHUNKED row mode (MMF_POOL_ROWK=K, opt-in, 0 = off):
-    the middle ground after round 5 rejected the full-row kernels at
-    flagship shapes — grid (B, Y/wY, nXo/K) steps, each processing K
-    pooled columns from one contiguous (wY, K*wX, nb, CC) block via the
-    SAME row-kernel body at bounded extent.  Returns the largest
+    """K-window CHUNKED row mode (MMF_POOL_ROWK=K, default 8, "0"
+    reverts to the per-window grid): the middle ground after round 5
+    rejected the full-row kernels at flagship shapes (scoped-VMEM OOM)
+    — grid (B, Y/wY, nXo/K) steps, each processing K pooled columns
+    from one contiguous (wY, K*wX, nb, CC) block via the SAME
+    row-kernel body at bounded extent.  On-chip A/B: default-on is the
+    round-5 best config (148.1 ms vs 154.1 per-window,
+    results/onchip_r5.jsonl train_b4_bf16_rowk8).  Returns the largest
     divisor of ``nXo`` in {16, 8, 4, 2} capped by the env value."""
     try:
-        cap = int(os.environ.get("MMF_POOL_ROWK", "0") or 0)
+        cap = int(os.environ.get("MMF_POOL_ROWK", "8") or 0)
     except ValueError:
-        cap = 0
+        cap = 8
     for k in (16, 8, 4, 2):
         if k <= cap and nXo % k == 0:
             return k
