@@ -56,6 +56,11 @@ def main():
                     default=os.path.join(REPO, "results",
                                          "repro_dx_bf16.jsonl"))
     ap.add_argument("--kshape", default="1,1,1")
+    ap.add_argument("--geo", default="tiny", choices=("tiny", "s1full"),
+                    help="s1full = the failing full stage-1 geometry "
+                         "(round-5: the bitcast fix holds at tiny "
+                         "shapes but the backward breaks again at "
+                         "RX=7936 — results/stage_s1full.log)")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +75,10 @@ def main():
         fc.set_interpret_mode(True)
 
     kshape = tuple(int(v) for v in args.kshape.split(","))
-    B, Y, X, Z, C, bs = 2, 4, 8, 64, 8, 8
+    if args.geo == "s1full":
+        B, Y, X, Z, C, bs = 4, 32, 128, 496, 16, 8
+    else:
+        B, Y, X, Z, C, bs = 2, 4, 8, 64, 8, 8
     nb = Z // bs
     rng = np.random.default_rng(7)
     x32 = rng.normal(size=(B, Y, X, Z, C))
@@ -154,7 +162,7 @@ def main():
                                  relu=False)
         for name, fn in cases:
             rec = {"case": name, "out_stats": out_stats,
-                   "kshape": list(kshape)}
+                   "kshape": list(kshape), "geo": args.geo}
             orc = oracle_norelu if name.endswith("norelu") else oracle
             try:
                 gr = fn()
