@@ -58,11 +58,12 @@ A100_REFERENCE_IMG_PER_SEC_ESTIMATE = 33.0
 # for the whole bench window, so an outage degrades the scoreboard to
 # "previous number + error" instead of "nothing" (round-3 lesson).
 LAST_VERIFIED = {
-    "value": 26.04, "unit": "img/s", "ms_per_step": 153.6,
+    "value": 27.0, "unit": "img/s", "ms_per_step": 148.1,
     "config": {"batch": 4, "precision": "bf16", "remat": False},
-    "provenance": "on-chip round-5 builder session "
-                  "(results/bench_r5.json: mask-idiom fix + slab cap, "
-                  "MMF_POOL_ROW off)",
+    "provenance": "on-chip round-5 A/B phase train_b4_bf16_rowk8 "
+                  "(results/onchip_r5.jsonl; same timing instrument as "
+                  "the bench — mask-idiom fix + slab cap + K-chunked "
+                  "pool rows, now the code defaults)",
 }
 
 # Error-message substrings that indicate a transient server/tunnel
