@@ -125,15 +125,15 @@ def main():
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run(impl):
-            def loss_fn(xp, s, b, w):
+            def loss_fn(xp, s, b, w, g):
                 y = fc.fused_conv([xp], [s], [b], w, X, nb, bs,
                                   relu=True, preferred_element_type=dt,
                                   impl=impl)
-                return jnp.sum(y * g_seed), y
+                return jnp.sum(y * g), y
             (l, y), grads = jax.jit(
                 lambda *a: jax.value_and_grad(
                     loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
-            )(xp, s, b, w)
+            )(xp, s, b, w, g_seed)
             return jax.tree.map(np.asarray, (y, grads))
 
         yp, gp = run("pallas")
@@ -149,15 +149,15 @@ def main():
             w = jnp.asarray(rng.normal(size=(1, 1, 3, C, C)) * 0.3, dt)
 
             def run(impl):
-                def loss_fn(xp, s, b, w):
+                def loss_fn(xp, s, b, w, g):
                     y = fc.fused_conv_strided(
                         [xp], [s], [b], w, X, nb, bs, valid_in=valid,
                         relu=True, preferred_element_type=dt, impl=impl)
-                    return jnp.sum(y * g_seed), y
+                    return jnp.sum(y * g), y
                 (l, y), grads = jax.jit(
                     lambda *a: jax.value_and_grad(
                         loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
-                )(xp, s, b, w)
+                )(xp, s, b, w, g_seed)
                 return jax.tree.map(np.asarray, (y, grads))
 
             yp, gp = run("pallas")
@@ -174,18 +174,18 @@ def main():
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run_ws(impl, ychunk):
-            def loss_fn(xp, s, b, w):
+            def loss_fn(xp, s, b, w, g):
                 y, s1, s2 = fc.fused_conv(
                     [xp], [s], [b], w, X, nb, bs, relu=True,
                     preferred_element_type=dt, impl=impl,
                     out_stats=True)
-                return (jnp.sum(y * g_seed) + jnp.sum(s1 * 3.0)
+                return (jnp.sum(y * g) + jnp.sum(s1 * 3.0)
                         + jnp.sum(s2 * 0.5)), (y, s1, s2)
             with env_flag("MMF_YCHUNK", ychunk):
                 (l, aux), grads = jax.jit(
                     lambda *a: jax.value_and_grad(
                         loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
-                )(xp, s, b, w)
+                )(xp, s, b, w, g_seed)
             return jax.tree.map(np.asarray, (aux, grads))
 
         ap_, gp_ = run_ws("pallas", "8")
@@ -245,17 +245,17 @@ def main():
         w = jnp.asarray(rng.normal(size=kshape + (C2, C2)) * 0.3, dt)
 
         def run2(impl):
-            def loss_fn(xp, s, b, w):
+            def loss_fn(xp, s, b, w, g):
                 y = fc.fused_conv([xp], [s], [b], w, X2, nb2, bs2,
                                   relu=True, preferred_element_type=dt,
                                   impl=impl, out_stats=True)
                 y, s1, s2 = y
-                return (jnp.sum(y * g2) + jnp.sum(s1) + jnp.sum(s2),
+                return (jnp.sum(y * g) + jnp.sum(s1) + jnp.sum(s2),
                         y)
             (l, y), grads = jax.jit(
                 lambda *a: jax.value_and_grad(
                     loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
-            )(xp2, s2_, b2_, w)
+            )(xp2, s2_, b2_, w, g2)
             return jax.tree.map(np.asarray, (y, grads))
 
         yp, gp = run2("pallas")
@@ -273,18 +273,18 @@ def main():
         w = jnp.asarray(rng.normal(size=kshape + (C, C)) * 0.3, dt)
 
         def run_g1(impl, g1):
-            def loss_fn(xp, s, b, w):
+            def loss_fn(xp, s, b, w, g):
                 y, s1, s2 = fc.fused_conv(
                     [xp], [s], [b], w, X, nb, bs, relu=True,
                     preferred_element_type=dt, impl=impl,
                     out_stats=True)
-                return (jnp.sum(y * g_seed) + jnp.sum(s1 * 3.0)
+                return (jnp.sum(y * g) + jnp.sum(s1 * 3.0)
                         + jnp.sum(s2 * 0.5)), (y, s1, s2)
             with env_flag("MMF_G1", g1):
                 (l, aux), grads = jax.jit(
                     lambda *a: jax.value_and_grad(
                         loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(*a)
-                )(xp, s, b, w)
+                )(xp, s, b, w, g_seed)
             return jax.tree.map(np.asarray, (aux, grads))
 
         ap_, gp_ = run_g1("pallas", "4")

@@ -102,7 +102,11 @@ def main():
         try:
             xp, s, b, w, g = build(dt)
 
-            def loss_fn(xp, s, b, w):
+            # g is an ARGUMENT, not a closure: a closed-over device
+            # array bakes into the uploaded program as a constant and
+            # the remote compile rejects the body at full geometry
+            # (HTTP 413 length limit — g is 520 MB fp32 at s1full)
+            def loss_fn(xp, s, b, w, g):
                 out = fc.fused_conv([xp], [s], [b], w, X, nb, bs,
                                     relu=relu,
                                     preferred_element_type=dt,
@@ -114,7 +118,7 @@ def main():
                 return jnp.sum(out * g)
 
             gr = jax.jit(jax.grad(loss_fn, argnums=(0, 1, 2, 3)))(
-                xp, s, b, w)
+                xp, s, b, w, g)
             return jax.tree.map(np.asarray, gr)
         finally:
             for k, v in saved.items():
