@@ -215,7 +215,7 @@ def test_g1_odd_Y_falls_back(monkeypatch):
     _assert_tree_close(g_p, g_ref, rtol=1e-4, atol=1e-4)
 
 
-def test_slab_cap_limits_G_at_full_shapes():
+def test_slab_cap_limits_G_at_full_shapes(monkeypatch):
     """Round-5: at flagship stage-1 TRAIN shapes a G=8 slab is 16 MB —
     the multi-row kernels' working set blew past VMEM and the full-step
     bf16 compile was rejected (BENCH_r04 signature) while small-shape
@@ -225,7 +225,7 @@ def test_slab_cap_limits_G_at_full_shapes():
     from multimodal_fusion_fpn_tpu.ops.pallas.fused_conv import (
         _g1_G, _ychunk_G)
     for k in ("MMF_G1", "MMF_YCHUNK", "MMF_SLAB_MB"):
-        assert k not in os.environ, k
+        monkeypatch.delenv(k, raising=False)
     # stage-1 flagship: RX = 128*62 = 7936, CC = 128, bf16
     assert _g1_G(32, 7936, 128, 2) == 2
     assert _ychunk_G(32, 7936, 128, 2) == 2
