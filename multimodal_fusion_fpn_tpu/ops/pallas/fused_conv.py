@@ -298,9 +298,35 @@ def _roll_rows(v, shift: int):
     return pltpu.roll(v.astype(jnp.float32), shift, 0).astype(v.dtype)
 
 
-def _slab_cap(cap: int, RX: int, CC: int, itemsize: int) -> int:
+def _use_rollfree() -> bool:
+    """Roll-free tap reads for the kX==3 kernels (MMF_ROLLFREE).
+
+    The round-5 step-cost model (PERF.md roadmap a) showed the grid-step
+    count dominates the step (~27 us fixed cost per grid step) and that
+    G is capped by IN-KERNEL VMEM TEMPS — chiefly the materialized
+    pltpu.roll copies per X tap (each a (G*RX, CC) slab, with an extra
+    fp32 round-trip for bf16).  Roll-free form: the activated slab is
+    stored ONCE into a halo-padded VMEM scratch and every tap (band and
+    z-wraps alike) becomes a static OFFSET-SLICE read — no rotated
+    copies, no upcasts, so the slab budget (and G) can grow."""
+    return os.environ.get("MMF_ROLLFREE", "0") == "1"
+
+
+def _halo_pad(nb: int) -> int:
+    """Halo rows on each side of the roll-free scratch: the largest tap
+    offset is nb+1 (X tap +- z wrap), rounded up to the 16-row sublane
+    tile so the one big store stays tile-aligned.  The halo rows are
+    zeroed once at grid step 0 and never written again; every output
+    row that would read a halo row is masked by the existing boundary
+    masks (a shift crossing an nb-group boundary is never valid), so
+    the zeros are hygiene, not semantics."""
+    return -(-(nb + 1) // 16) * 16
+
+
+def _slab_cap(cap: int, RX: int, CC: int, itemsize: int,
+              rf: bool = False) -> int:
     """Shrink a row-group cap so ONE (G, RX, CC) slab stays under
-    MMF_SLAB_MB (default 4 MB).
+    MMF_SLAB_MB (default 4 MB; 9 MB for the roll-free kernels).
 
     The multi-row kernels (MMF_G1 / MMF_YCHUNK) hold several such slabs
     at once — x, g [, y] in, dx out — and Mosaic double-buffers each
@@ -310,9 +336,17 @@ def _slab_cap(cap: int, RX: int, CC: int, itemsize: int) -> int:
     compiles every kernel while the full-shape step is rejected
     (BENCH_r04's `tpu_compile_helper exit 1` signature).  Capping by
     slab bytes keeps G=8 on the small stages (where per-step overhead
-    actually hurts) and degrades gracefully to per-row at stage 1/2."""
+    actually hurts) and degrades gracefully to per-row at stage 1/2.
+
+    ``rf``: the roll-free kernels (see :func:`_use_rollfree`) hold ~3x
+    fewer live temps (no rotated copies / upcast round-trips), so their
+    unset-env default budget is larger (9 MB: G=4 at stage 1's 2.03 MB
+    rows, G=8 at stage 2's 1.02 MB rows).  An explicit MMF_SLAB_MB
+    overrides both defaults (the on-chip A/B knob)."""
+    env = os.environ.get("MMF_SLAB_MB")
     try:
-        budget = float(os.environ.get("MMF_SLAB_MB", "4")) * 2 ** 20
+        budget = ((9.0 if rf else 4.0) if env is None
+                  else float(env)) * 2 ** 20
     except ValueError:
         budget = 4 * 2 ** 20
     per_row = RX * CC * itemsize
@@ -321,7 +355,8 @@ def _slab_cap(cap: int, RX: int, CC: int, itemsize: int) -> int:
     return cap
 
 
-def _g1_G(Y: int, RX: int, CC: int, itemsize: int = 2) -> int:
+def _g1_G(Y: int, RX: int, CC: int, itemsize: int = 2,
+          rf: bool = False) -> int:
     """Rows-per-grid-step for the kY==1 kernels: largest G in {8, 4, 2}
     dividing Y, capped by MMF_G1 (unset = 8; "0"/"1" disables — the
     on-chip A/B escape hatch, tools/onchip_r4.py) and by the
@@ -330,7 +365,7 @@ def _g1_G(Y: int, RX: int, CC: int, itemsize: int = 2) -> int:
         cap = int(os.environ.get("MMF_G1", "8"))
     except ValueError:
         cap = 8
-    cap = _slab_cap(cap, RX, CC, itemsize)
+    cap = _slab_cap(cap, RX, CC, itemsize, rf=rf)
     for g in (8, 4, 2):
         if g <= cap and Y % g == 0:
             return g
@@ -389,7 +424,6 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         def _():
             s1_ref[...] = jnp.zeros_like(s1_ref)
             s2_ref[...] = jnp.zeros_like(s2_ref)
-
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
     # within-Y-row index: masks have period RX over the G-row slab
     rloc = jax.lax.rem(rows_i, RX) if G > 1 else rows_i
@@ -495,6 +529,138 @@ def _kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
         s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
 
 
+def _rf_kernel(*refs, n_in: int, kz: int, X: int, nb: int, bs: int,
+               relu: bool, Y: int, out_dtype, with_stats: bool = False,
+               with_dyn: bool = False, dyn_valid_in: int = 0,
+               G: int = 1):
+    """Roll-free forward kernel (kY==1, kX==3 — the hot (1,3,3) stage
+    convs; see :func:`_use_rollfree`).  Same operand order as
+    :func:`_kernel` plus a trailing halo-padded VMEM scratch.
+
+    Two Mosaic lessons shape the form (results/stage_rollfree_s1full.log):
+    every tap — X band taps AND z wraps — is a static OFFSET-SLICE read
+    of the scratch (no pltpu.roll copies, no bf16->fp32 round-trips),
+    and the compute is CHUNKED PER Y-SUBROW (static G-unrolled loop):
+    a flat (G*RX, CC) body makes the register allocator hold G-row
+    intermediates in vregs and spill (~124 MB of spill slots at
+    stage-1 G=4, the same scoped-OOM signature as the round-4 full-step
+    rejection), while per-subrow temps stay (RX, CC)-sized and die at
+    each iteration's out write.  Cross-subrow tap reads are exactly the
+    rows the per-tap boundary masks already zero; the scratch halo is
+    zeroed once at grid step 0 so edge reads are inert."""
+    idx = 0
+    x_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    if with_dyn:
+        ext_ref = refs[idx]; idx += 1
+    band_ref = refs[idx]; idx += 1
+    if kz == 3:
+        wrap_ref = refs[idx]; idx += 1
+    out_ref = refs[idx]; idx += 1
+    if with_stats:
+        s1_ref = refs[idx]; idx += 1
+        s2_ref = refs[idx]; idx += 1
+    ts_ref = refs[idx]
+
+    y = pl.program_id(1)
+    RX = X * nb
+    PAD = _halo_pad(nb)
+    step = pl.program_id(0) * pl.num_programs(1) + y
+
+    @pl.when(step == 0)
+    def _():
+        zh = jnp.zeros((PAD, ts_ref.shape[1]), ts_ref.dtype)
+        ts_ref[pl.ds(0, PAD)] = zh
+        ts_ref[pl.ds(PAD + G * RX, PAD)] = zh
+        if with_stats:
+            s1_ref[...] = jnp.zeros_like(s1_ref)
+            s2_ref[...] = jnp.zeros_like(s2_ref)
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    mrow = jax.lax.rem(rows_i, nb)
+    head_m = mrow != 0
+    tail_m = mrow != nb - 1
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
+    if kz == 3:
+        CCo = out_ref.shape[-1]
+        co = CCo // bs
+        col = jax.lax.broadcasted_iota(jnp.int32, (RX, CCo), 1)
+        head_cols = jnp.logical_and(head_m, col < co)
+        tail_cols = jnp.logical_and(tail_m, col >= (bs - 1) * co)
+
+    if with_dyn:
+        xt = ext_ref[1]
+        zt = ext_ref[2]
+        CC_in = x_refs[0].shape[-1]
+        ci_in = CC_in // bs
+        xg = rows_i // nb
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, CC_in), 1)
+        j_in = lane // ci_in
+        vi = dyn_valid_in or bs
+        zlog = mrow * vi + j_in
+        dyn_valid = jnp.logical_and(
+            jnp.logical_and(
+                xg < xt,     # mosaic-f32-ok: int32 compare
+                zlog < zt),  # mosaic-f32-ok: int32 compare
+            j_in < vi)       # mosaic-f32-ok: int32 compare
+
+    # phase 1: affine(+relu)(+dyn mask) per subrow into the scratch —
+    # all subrows must land before any tap reads across them.
+    for k in range(G):
+        t = None
+        for i in range(n_in):
+            s_ref, b_ref = sb_refs[i]
+            term = x_refs[i][0, k] * s_ref[:] + b_ref[:]
+            t = term if t is None else t + term
+        if relu:
+            t = jnp.maximum(t, 0.0)
+        if with_dyn:
+            t = jnp.where(dyn_valid, t, jnp.zeros((), t.dtype))
+            yk = y * G + k
+            yv_ok = yk < ext_ref[0]  # mosaic-f32-ok: int32 scalar
+            t = t * yv_ok.astype(t.dtype)
+        ts_ref[pl.ds(PAD + k * RX, RX)] = t
+
+    # phase 2: per subrow, all taps as offset reads of the scratch.
+    dn = (((1,), (0,)), ((), ()))
+    for k in range(G):
+        base = PAD + k * RX
+        acc = None
+        for dx in range(3):
+            off = (dx - 1) * nb
+            a = jax.lax.dot_general(
+                ts_ref[pl.ds(base + off, RX)], band_ref[dx],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            if kz == 3:
+                # z-wraps as offset reads: head term at out row r is
+                # t[r + off - 1] @ wrap, tail t[r + off + 1] @ wrap
+                # (disjoint column blocks of the combined wrap matrix).
+                ph = jax.lax.dot_general(
+                    ts_ref[pl.ds(base + off - 1, RX)], wrap_ref[dx],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                pt = jax.lax.dot_general(
+                    ts_ref[pl.ds(base + off + 1, RX)], wrap_ref[dx],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                a = a + jnp.where(head_cols, ph, 0.0)
+                a = a + jnp.where(tail_cols, pt, 0.0)
+            if tap_row_m[dx] is not None:
+                a = jnp.where(tap_row_m[dx], a, 0.0)
+            acc = a if acc is None else acc + a
+        yv = acc.astype(out_dtype)
+        out_ref[0, k] = yv
+        if with_stats:
+            yf = yv.astype(jnp.float32)
+            s1_ref[...] += jnp.sum(yf, axis=0, keepdims=True)
+            s2_ref[...] += jnp.sum(yf * yf, axis=0, keepdims=True)
+
+
 def fused_conv_pallas(xs, scales, biases, w, X: int, nb: int, bs: int,
                       relu: bool = True,
                       preferred_element_type=jnp.float32,
@@ -533,8 +699,9 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
 
     # kY==1 (the (1,3,3)/(1,1,3) convs — 4 of 5 stage convs + the
     # cascades): G consecutive Y rows per grid step (MMF_G1, default 8).
+    rf = kY == 1 and kX == 3 and _use_rollfree()
     G1 = _g1_G(Y, RX, max(CC, band.shape[-1]),
-               dt.itemsize) if kY == 1 else 1
+               dt.itemsize, rf=rf) if kY == 1 else 1
 
     ops = []
     in_specs = []
@@ -578,11 +745,22 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
         ops.append((wplus + wminus).astype(dt))
         in_specs.append(w_spec)
 
-    kern = functools.partial(
-        _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
-        relu=relu, Y=Y, out_dtype=preferred_element_type,
-        with_stats=with_stats, with_dyn=dyn_extents is not None,
-        dyn_valid_in=dyn_valid_in, G=G1)
+    if rf:
+        kern = functools.partial(
+            _rf_kernel, n_in=n_in, kz=kz, X=X, nb=nb, bs=bs,
+            relu=relu, Y=Y, out_dtype=preferred_element_type,
+            with_stats=with_stats, with_dyn=dyn_extents is not None,
+            dyn_valid_in=dyn_valid_in, G=G1)
+    else:
+        kern = functools.partial(
+            _kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
+            relu=relu, Y=Y, out_dtype=preferred_element_type,
+            with_stats=with_stats, with_dyn=dyn_extents is not None,
+            dyn_valid_in=dyn_valid_in, G=G1)
+    scratch_shapes = ()
+    if rf:
+        PAD = _halo_pad(nb)
+        scratch_shapes = (pltpu.VMEM((G1 * RX + 2 * PAD, CC), dt),)
 
     y_spec = pl.BlockSpec((1, G1, RX, bs * co),
                           lambda b, y: (b, y, 0, 0),
@@ -603,6 +781,7 @@ def _fused_conv_pallas_mats(xs, scales, biases, band, wplus, wminus,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
@@ -2022,6 +2201,173 @@ def _dx_kernel(*refs, n_in: int, kY: int, kX: int, kz: int,
                     preferred_element_type=jnp.float32)
 
 
+def _rf_dx_kernel(*refs, n_in: int, kz: int, X: int, nb: int, bs: int,
+                  relu: bool, Y: int, out_dtype, head_block: int,
+                  tail_block: int, with_gstats: bool = False,
+                  want_band: bool = False, want_wrap: bool = False,
+                  G: int = 1):
+    """Roll-free backward (kY==1, kX==3): transposed conv + epilogue
+    [+ merged dband] with every tap an offset-slice read of a haloed
+    scratch, chunked per Y-subrow — see :func:`_rf_kernel` for why both
+    properties are load-bearing on Mosaic.  Same operand order as
+    :func:`_dx_kernel` plus trailing scratches: gs (the folded g slab)
+    [, ts (recomputed activations) when want_band]."""
+    idx = 0
+    x_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    sb_refs = []
+    for _ in range(n_in):
+        sb_refs.append((refs[idx], refs[idx + 1]))
+        idx += 2
+    g_ref = refs[idx]; idx += 1
+    if with_gstats:
+        yst_ref = refs[idx]; idx += 1
+        gs1_ref = refs[idx]; idx += 1
+        gs2_ref = refs[idx]; idx += 1
+    band_ref = refs[idx]; idx += 1
+    if kz == 3:
+        wrap_ref = refs[idx]; idx += 1
+    dx_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    ds_refs = [refs[idx + i] for i in range(n_in)]
+    idx += n_in
+    db_ref = refs[idx]; idx += 1
+    if want_band:
+        bandc_ref = refs[idx]; idx += 1
+        if want_wrap:
+            wpc_ref = refs[idx]; idx += 1
+            wmc_ref = refs[idx]; idx += 1
+    gs_ref = refs[idx]; idx += 1
+    ts_ref = refs[idx] if want_band else None
+
+    y = pl.program_id(1)
+    step = pl.program_id(0) * pl.num_programs(1) + y
+    RX = X * nb
+    PAD = _halo_pad(nb)
+
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (RX, 1), 0)
+    mrow = jax.lax.rem(rows_i, nb)
+    head_m = mrow != 0
+    tail_m = mrow != nb - 1
+    tap_row_m = {0: rows_i >= nb, 1: None, 2: rows_i < RX - nb}
+    if kz == 3:
+        col = jax.lax.broadcasted_iota(
+            jnp.int32, (RX, band_ref.shape[-1]), 1)
+        co_out = band_ref.shape[-1] // bs
+        head_cols = jnp.logical_and(
+            head_m, jnp.logical_and(col >= head_block * co_out,
+                                    col < (head_block + 1) * co_out))
+        tail_cols = jnp.logical_and(
+            tail_m, jnp.logical_and(col >= tail_block * co_out,
+                                    col < (tail_block + 1) * co_out))
+
+    @pl.when(step == 0)
+    def _():
+        for i in range(n_in):
+            ds_refs[i][...] = jnp.zeros_like(ds_refs[i])
+        db_ref[...] = jnp.zeros_like(db_ref)
+        if want_band:
+            bandc_ref[...] = jnp.zeros_like(bandc_ref)
+            if want_wrap:
+                wpc_ref[...] = jnp.zeros_like(wpc_ref)
+                wmc_ref[...] = jnp.zeros_like(wmc_ref)
+        zg = jnp.zeros((PAD, gs_ref.shape[1]), gs_ref.dtype)
+        gs_ref[pl.ds(0, PAD)] = zg
+        gs_ref[pl.ds(PAD + G * RX, PAD)] = zg
+        if ts_ref is not None:
+            zt = jnp.zeros((PAD, ts_ref.shape[1]), ts_ref.dtype)
+            ts_ref[pl.ds(0, PAD)] = zt
+            ts_ref[pl.ds(PAD + G * RX, PAD)] = zt
+
+    # phase 1: the (stats-folded) g slab per subrow into the scratch.
+    for k in range(G):
+        gv = g_ref[0, k]
+        if with_gstats:
+            yf = yst_ref[0, k].astype(jnp.float32)
+            gv = (gv.astype(jnp.float32) + gs1_ref[:]
+                  + 2.0 * yf * gs2_ref[:]).astype(gv.dtype)
+        gs_ref[pl.ds(PAD + k * RX, RX)] = gv
+
+    # phase 2: per subrow, transposed-conv taps + input-side epilogue.
+    dn = (((1,), (0,)), ((), ()))
+    for k in range(G):
+        base = PAD + k * RX
+        dt = None
+        for dx in range(3):
+            off = (dx - 1) * nb
+            a = jax.lax.dot_general(
+                gs_ref[pl.ds(base + off, RX)], band_ref[dx],
+                dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+            if kz == 3:
+                ph = jax.lax.dot_general(
+                    gs_ref[pl.ds(base + off - 1, RX)], wrap_ref[dx],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                pt = jax.lax.dot_general(
+                    gs_ref[pl.ds(base + off + 1, RX)], wrap_ref[dx],
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.float32)
+                a = a + jnp.where(head_cols, ph, 0.0)
+                a = a + jnp.where(tail_cols, pt, 0.0)
+            if tap_row_m[dx] is not None:
+                a = jnp.where(tap_row_m[dx], a, 0.0)
+            dt = a if dt is None else dt + a
+
+        pre = None
+        if relu or want_band:
+            for i in range(n_in):
+                s_ref, b_ref = sb_refs[i]
+                pre_t = x_refs[i][0, k] * s_ref[:] + b_ref[:]
+                pre = pre_t if pre is None else pre + pre_t
+        dtm = relu_grad_mask(pre, dt) if relu else dt
+
+        db_ref[...] += jnp.sum(dtm, axis=0, keepdims=True)
+        for i in range(n_in):
+            s_ref, _ = sb_refs[i]
+            dx_refs[i][0, k] = (dtm * s_ref[:].astype(jnp.float32)
+                                ).astype(out_dtype)
+            ds_refs[i][...] += jnp.sum(
+                dtm * x_refs[i][0, k].astype(jnp.float32), axis=0,
+                keepdims=True)
+        if want_band:
+            ts_ref[pl.ds(PAD + k * RX, RX)] = (
+                jnp.maximum(pre, 0.0) if relu else pre)
+
+    # phase 3 (merged dband): per subrow, weight cotangents from the
+    # two scratches.  Shifted-mask forms of the rolled hgr/tgr: hgr[r]
+    # = head_m[r+1]*gm0[r+1], tgr[r] = tail_m[r-1]*gm0[r-1]; the tgr
+    # mask uses rem(r+nb-1) to keep the r==0 boundary row masked (its
+    # flat-form source, the previous subrow's last row, was zeroed by
+    # tail_m there), and subrow-crossing reads are masked for the same
+    # reason (RX % nb == 0).
+    if want_band:
+        hgr_m = jax.lax.rem(rows_i + 1, nb) != 0
+        tgr_m = jax.lax.rem(rows_i + (nb - 1), nb) != nb - 1
+        dn0 = (((0,), (0,)), ((), ()))
+        for k in range(G):
+            base = PAD + k * RX
+            gm0 = gs_ref[pl.ds(base, RX)]
+            if want_wrap:
+                hgr = jnp.where(hgr_m, gs_ref[pl.ds(base + 1, RX)], 0.0)
+                tgr = jnp.where(tgr_m, gs_ref[pl.ds(base - 1, RX)], 0.0)
+            for dx_ in range(3):
+                off_ = (dx_ - 1) * nb
+                rows = ts_ref[pl.ds(base + off_, RX)]
+                if tap_row_m[dx_] is not None:
+                    rows = jnp.where(tap_row_m[dx_], rows, 0.0)
+                bandc_ref[dx_] += jax.lax.dot_general(
+                    rows, gm0, dimension_numbers=dn0,
+                    preferred_element_type=jnp.float32)
+                if want_wrap:
+                    wpc_ref[dx_] += jax.lax.dot_general(
+                        rows, hgr, dimension_numbers=dn0,
+                        preferred_element_type=jnp.float32)
+                    wmc_ref[dx_] += jax.lax.dot_general(
+                        rows, tgr, dimension_numbers=dn0,
+                        preferred_element_type=jnp.float32)
+
+
 def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
                kY: int, kX: int, X: int, nb: int, bs: int, relu: bool,
                head_block: int = 0, tail_block: int = None,
@@ -2053,7 +2399,9 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
                                   relu, interpret, want_band=want_band)
     assert not want_band or kY == 1, (kY, "merged dx+dband needs the "
                                       "single-g-slab form")
-    G1 = _g1_G(Y, RX, max(CC, CCg), dt.itemsize) if kY == 1 else 1
+    rf = kY == 1 and kX == 3 and _use_rollfree()
+    G1 = _g1_G(Y, RX, max(CC, CCg), dt.itemsize,
+               rf=rf) if kY == 1 else 1
 
     ops = []
     in_specs = []
@@ -2105,11 +2453,25 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
         ops.append((wplusT + wminusT).astype(dt))
         in_specs.append(w_spec)
 
-    kern = functools.partial(
-        _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb, bs=bs,
-        relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
-        tail_block=tail_block, with_gstats=stats_cot is not None,
-        want_band=want_band, want_wrap=want_wrap, G=G1)
+    if rf:
+        kern = functools.partial(
+            _rf_dx_kernel, n_in=n_in, kz=kz, X=X, nb=nb, bs=bs,
+            relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
+            tail_block=tail_block, with_gstats=stats_cot is not None,
+            want_band=want_band, want_wrap=want_wrap, G=G1)
+    else:
+        kern = functools.partial(
+            _dx_kernel, n_in=n_in, kY=kY, kX=kX, kz=kz, X=X, nb=nb,
+            bs=bs, relu=relu, Y=Y, out_dtype=dt, head_block=head_block,
+            tail_block=tail_block, with_gstats=stats_cot is not None,
+            want_band=want_band, want_wrap=want_wrap, G=G1)
+    scratch_shapes = []
+    if rf:
+        PAD = _halo_pad(nb)
+        R = G1 * RX
+        scratch_shapes.append(pltpu.VMEM((R + 2 * PAD, CCg), dt))
+        if want_band:
+            scratch_shapes.append(pltpu.VMEM((R + 2 * PAD, CC), dt))
 
     slab_spec = pl.BlockSpec((1, G1, RX, CC), lambda b, y: (b, y, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -2133,6 +2495,7 @@ def _dx_pallas(xs, scales, biases, g, bandT, wplusT, wminusT,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
+        scratch_shapes=tuple(scratch_shapes),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 2 ** 20),
         interpret=interpret,
